@@ -1,0 +1,211 @@
+"""Inference graph builder: config + packed params → jittable forward.
+
+The TPU-native analogue of the reference's per-network dataflow pipeline
+(SURVEY.md C9 `DoCompute`/`BlackBoxJam` «bnn/src/network/<net>/hw/top.cpp»):
+one jitted XLA program per network, chaining packed MVTU matmul/conv
+kernels with fused thresholds; where the FPGA streams layer-to-layer over
+FIFOs, XLA fuses the inter-layer packing/repacking ops into the kernels.
+
+Two interchangeable implementations behind one graph (the HW/SW runtime
+duality of SURVEY.md §4.1):
+- impl='pallas': packed Pallas kernels (MXU or VPU route).
+- impl='ref':    dense golden reference ops — the bit-exact software twin.
+
+First-layer handling mirrors the reference: CNV's first conv consumes
+8-bit images (not binary), so it runs as an exact int8 XLA dot with
+decoded weights; MLPs consume bipolar (±1) inputs which are packed
+directly (SURVEY.md C10 `binarizeAndPack`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bnn_pynq_tpu.models.config import (ConvSpec, DenseSpec, NetworkConfig,
+                                        PoolSpec)
+from bnn_pynq_tpu.ops import packing, ref
+from bnn_pynq_tpu.ops.conv import (conv2d_packed, conv_weight_matrix,
+                                   maxpool2d, sliding_window)
+from bnn_pynq_tpu.ops.matmul import packed_matmul_padded
+from bnn_pynq_tpu.ops.thresholds import codes_to_values, multithreshold
+
+
+@dataclass(frozen=True)
+class LayerPlan:
+    kind: str                     # 'dense' | 'conv' | 'conv_int8' | 'pool'
+    k: int = 0                    # contraction length (dense/conv)
+    n: int = 0                    # output features/channels
+    kernel: int = 0
+    stride: int = 1
+    window: int = 0
+    last: bool = False            # last compute layer → int32 logits
+
+
+def make_plan(config: NetworkConfig) -> Tuple[LayerPlan, ...]:
+    """Derive the static per-layer execution plan from a config."""
+    h, w, c = config.input_shape
+    plans = []
+    specs = config.layers
+    last_compute = max(i for i, s in enumerate(specs)
+                      if not isinstance(s, PoolSpec))
+    flat = False
+    for i, spec in enumerate(specs):
+        if isinstance(spec, ConvSpec):
+            kind = "conv_int8" if (i == 0 and config.input_kind == "int8") \
+                else "conv"
+            k = spec.kernel * spec.kernel * c
+            plans.append(LayerPlan(kind=kind, k=k, n=spec.out_ch,
+                                   kernel=spec.kernel, stride=spec.stride,
+                                   last=(i == last_compute)))
+            h = (h - spec.kernel) // spec.stride + 1
+            w = (w - spec.kernel) // spec.stride + 1
+            c = spec.out_ch
+        elif isinstance(spec, PoolSpec):
+            plans.append(LayerPlan(kind="pool", window=spec.window))
+            h //= spec.window
+            w //= spec.window
+        elif isinstance(spec, DenseSpec):
+            if not flat:
+                k = h * w * c
+                flat = True
+            else:
+                k = c
+            plans.append(LayerPlan(kind="dense", k=k, n=spec.out_features,
+                                   last=(i == last_compute)))
+            c = spec.out_features
+            h = w = 1
+        else:
+            raise TypeError(f"unknown layer spec {spec!r}")
+    return tuple(plans)
+
+
+def _pack_along_last(codes, bits: int):
+    if bits == 1:
+        return packing.pack_bits(codes, axis=-1)   # bit = code > 0
+    return packing.pack_codes2(codes, axis=-1)
+
+
+def _input_codes(config: NetworkConfig, x):
+    """Bipolar input → activation codes in the network's packing scheme."""
+    pos = jnp.asarray(x) > 0
+    if config.bits == 1:
+        return pos.astype(jnp.int8)                        # codes {0,1}
+    return jnp.where(pos, jnp.int8(2), jnp.int8(1))        # levels ±1
+
+
+def init_random_params(config: NetworkConfig, seed: int = 0):
+    """Random packed parameters with plausible thresholds — used by tests
+    and kernel benchmarks before trained artifacts exist."""
+    rng = np.random.default_rng(seed)
+    plan = make_plan(config)
+    bits = config.bits
+    nthr = config.nthr
+    params = []
+    for lp in plan:
+        if lp.kind == "pool":
+            params.append({})
+            continue
+        if lp.kind == "conv_int8":
+            wmat = rng.choice([-1, 1], size=(lp.k, lp.n)).astype(np.int8)
+            if config.wbits == 2:
+                wmat = rng.choice([-3, -1, 1, 3], size=(lp.k, lp.n)).astype(np.int8)
+            entry = {"w_int8": jnp.asarray(wmat)}
+            scale = lp.k * 128
+        else:
+            if bits == 1:
+                wvals = rng.choice([-1, 1], size=(lp.k, lp.n)).astype(np.int8)
+                packed = packing.np_pack_bits(wvals, axis=0)
+            else:
+                if config.wbits == 1:
+                    wcodes = rng.choice([1, 2], size=(lp.k, lp.n)).astype(np.int8)
+                else:
+                    wcodes = rng.integers(0, 4, size=(lp.k, lp.n)).astype(np.int8)
+                packed = packing.np_pack_codes2(wcodes, axis=0)
+            entry = {"w_packed": jnp.asarray(packed)}
+            scale = lp.k * (1 if bits == 1 else 9)
+        if not lp.last:
+            thr = np.sort(
+                rng.integers(-scale // 4, scale // 4, size=(nthr, lp.n)),
+                axis=0).astype(np.int32)
+            entry["thr"] = jnp.asarray(thr)
+        params.append(entry)
+    return params
+
+
+def forward(config: NetworkConfig, params, x, *, impl: str = "pallas",
+            route: str = "mxu", interpret=None):
+    """Run the network. Returns int32 logits [B, num_classes].
+
+    x: bipolar nets — any array broadcastable to [B, 784] (values ±1 or
+       floats, binarized at >0); int8 nets — int8 [B, H, W, C].
+    """
+    plan = make_plan(config)
+    bits = config.bits
+
+    if config.input_kind == "bipolar":
+        x = jnp.asarray(x)
+        act = _input_codes(config, x.reshape(x.shape[0], -1))
+    else:
+        act = jnp.asarray(x, dtype=jnp.int8)
+
+    for lp, p in zip(plan, params):
+        thr = None if lp.last else p.get("thr")
+        if lp.kind == "pool":
+            act = maxpool2d(act, lp.window)
+        elif lp.kind == "conv_int8":
+            patches = sliding_window(act, lp.kernel, lp.kernel, lp.stride)
+            b, oh, ow, k = patches.shape
+            acc = ref.int_matmul_ref(patches.reshape(b * oh * ow, k),
+                                     p["w_int8"])
+            acc = acc.reshape(b, oh, ow, lp.n)
+            act = acc if lp.last else multithreshold(acc, thr)
+        elif lp.kind == "conv":
+            if impl == "pallas":
+                act = conv2d_packed(act, p["w_packed"], thr, kernel=lp.kernel,
+                                    stride=lp.stride, bits=bits, route=route,
+                                    interpret=interpret)
+            else:
+                w_lev = _unpack_weights(p["w_packed"], lp.k, bits)
+                patches = sliding_window(codes_to_values(act, config.abits),
+                                         lp.kernel, lp.kernel, lp.stride)
+                b, oh, ow, k = patches.shape
+                acc = ref.int_matmul_ref(patches.reshape(b * oh * ow, k),
+                                         w_lev)
+                acc = acc.reshape(b, oh, ow, lp.n)
+                act = acc if lp.last else multithreshold(acc, thr)
+        elif lp.kind == "dense":
+            if act.ndim > 2:
+                act = act.reshape(act.shape[0], -1)
+            if impl == "pallas":
+                a_packed = _pack_along_last(act, bits)
+                act = packed_matmul_padded(a_packed, p["w_packed"], thr,
+                                           k=lp.k, bits=bits, route=route,
+                                           interpret=interpret)
+            else:
+                w_lev = _unpack_weights(p["w_packed"], lp.k, bits)
+                a_lev = codes_to_values(act, config.abits)
+                acc = ref.int_matmul_ref(a_lev, w_lev)
+                act = acc if lp.last else multithreshold(acc, thr)
+        else:
+            raise ValueError(lp.kind)
+    return act
+
+
+def _unpack_weights(w_packed, k: int, bits: int):
+    if bits == 1:
+        return packing.unpack_bits(w_packed, k, axis=0)
+    return packing.codes2_to_levels(packing.unpack_codes2(w_packed, k, axis=0))
+
+
+def make_forward_fn(config: NetworkConfig, *, impl: str = "pallas",
+                    route: str = "mxu", interpret=None):
+    """Return a jittable `fn(params, x) -> logits` closure."""
+    def fn(params, x):
+        return forward(config, params, x, impl=impl, route=route,
+                       interpret=interpret)
+    return fn

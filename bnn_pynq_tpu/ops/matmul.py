@@ -222,15 +222,18 @@ def packed_matmul(a_packed, w_packed, thr=None, *, k, bits=1, route="mxu",
 def packed_matmul_padded(a_packed, w_packed, thr=None, *, k, bits=1,
                          route="mxu", block_m=128, block_n=128,
                          interpret=None):
-    """`packed_matmul` for arbitrary M/N: pads M with zero rows and requires
-    the artifact pipeline to have padded N (weights/thresholds) to a
-    block_n multiple already (the compiler does this; see compiler/)."""
+    """`packed_matmul` for arbitrary M/N: pads M with zero rows; N is
+    handled by shrinking block_n to N when N < block_n (Mosaic masks
+    non-128 lane tiles internally — all SFC/LFC/CNV layer widths are either
+    ≤ 128 or multiples of 128, so no channel padding is ever needed)."""
     m = a_packed.shape[0]
     n = w_packed.shape[1]
-    if n % block_n != 0:
+    if n < block_n:
+        block_n = n
+    elif n % block_n != 0:
         raise ValueError(
-            f"N={n} not a multiple of block_n={block_n}: pad weight columns "
-            "(zero words) and thresholds (THR_NEVER) in the artifact")
+            f"N={n} is neither < block_n nor a multiple of block_n="
+            f"{block_n}; choose a block_n that divides N")
     block_m_eff = min(block_m, _round_up(m, 8))
     m_pad = _round_up(m, block_m_eff) - m
     if m_pad:

@@ -102,7 +102,7 @@ def unpack_codes2(packed, n: int, axis: int = -1):
     shifts = (2 * jnp.arange(per_word, dtype=jnp.uint32)).astype(jnp.uint32)
     codes = (moved[..., None] >> shifts) & jnp.uint32(3)
     flat = codes.reshape(codes.shape[:-2] + (-1,))[..., :n]
-    return flat.astype(jnp.int8)
+    return jnp.moveaxis(flat.astype(jnp.int8), -1, axis)
 
 
 def codes2_to_levels(codes):
