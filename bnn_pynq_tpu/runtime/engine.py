@@ -1,0 +1,134 @@
+"""Inference engine — the host runtime (SURVEY.md C10/C12 rebuild).
+
+Replaces the reference's C++ offload stack (`FoldedMVOffload`,
+`binarizeAndPack`, `ExecAccel` «bnn/src/library/host/foldedmv-offload.cpp»)
+and the `PynqBNN` loader «bnn/bnn.py»: loads compiled integer parameters
+onto the device once, builds one jitted program per batch bucket, and
+exposes classify APIs with per-image latency accounting (`usecPerImage`).
+
+Runtimes (the HW/SW duality of SURVEY.md §4.1):
+- 'tpu'        : Pallas kernels compiled for the TPU (default on TPU).
+- 'interpret'  : same kernels in Pallas interpret mode (CPU debugging).
+- 'ref'        : dense golden twin (bit-exact software emulator).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bnn_pynq_tpu.compiler.finnthesizer import CompiledNetwork
+from bnn_pynq_tpu.models.config import NetworkConfig
+from bnn_pynq_tpu.models.network import forward
+from bnn_pynq_tpu.ops.matmul import on_tpu
+
+DEFAULT_BATCH_BUCKETS = (1, 16, 64, 256, 1024)
+
+
+class InferenceEngine:
+    """Loads a CompiledNetwork and serves classifications."""
+
+    def __init__(self, compiled: CompiledNetwork, runtime: str = "auto",
+                 route: str = "mxu",
+                 batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS):
+        self.compiled = compiled
+        self.config: NetworkConfig = compiled.config
+        if runtime == "auto":
+            runtime = "tpu" if on_tpu() else "interpret"
+        if runtime not in ("tpu", "interpret", "ref"):
+            raise ValueError(f"unknown runtime {runtime}")
+        self.runtime = runtime
+        self.route = route
+        self.batch_buckets = tuple(sorted(batch_buckets))
+        self.usecPerImage: Optional[float] = None
+
+        # Device-resident parameters (the analogue of the reference's
+        # doInit weight-memory load, SURVEY.md §3.2 — here a plain upload).
+        self.params = [
+            {k: jnp.asarray(v) for k, v in layer.items()}
+            for layer in compiled.layers
+        ]
+        self.out_scale = jnp.asarray(compiled.out_scale)
+        self.out_bias = jnp.asarray(compiled.out_bias)
+
+        impl = "ref" if runtime == "ref" else "pallas"
+        interpret = None if runtime == "tpu" else (runtime == "interpret")
+
+        @partial(jax.jit, static_argnums=())
+        def _fn(params, out_scale, out_bias, x):
+            acc = forward(self.config, params, x, impl=impl,
+                          route=route, interpret=interpret)
+            return acc.astype(jnp.float32) * out_scale[None, :] \
+                + out_bias[None, :]
+
+        self._fn = _fn
+
+    # -- input preparation ------------------------------------------------
+    def prepare(self, x: np.ndarray) -> np.ndarray:
+        """uint8 images → engine input (binarize or center to int8); the
+        `binarizeAndPack` half that happens on the host."""
+        x = np.asarray(x)
+        if self.config.input_kind == "bipolar":
+            flat = x.reshape(x.shape[0], -1)
+            if x.dtype == np.uint8:
+                return np.where(flat >= 128, 1, -1).astype(np.int8)
+            return np.where(flat >= 0, 1, -1).astype(np.int8)
+        if x.dtype == np.uint8:
+            return (x.astype(np.int32) - 128).astype(np.int8)
+        return x.astype(np.int8)
+
+    def _bucket(self, b: int) -> int:
+        for s in self.batch_buckets:
+            if b <= s:
+                return s
+        return -(-b // self.batch_buckets[-1]) * self.batch_buckets[-1]
+
+    # -- inference --------------------------------------------------------
+    def logits(self, x: np.ndarray, *, prepared: bool = False) -> np.ndarray:
+        """Float logits [B, num_classes]; pads the batch to a bucket size
+        to bound recompilation."""
+        if not prepared:
+            x = self.prepare(x)
+        b = x.shape[0]
+        bucket = self._bucket(b)
+        if bucket != b:
+            pad = np.zeros((bucket - b,) + x.shape[1:], dtype=x.dtype)
+            x = np.concatenate([x, pad], axis=0)
+        t0 = time.perf_counter()
+        out = np.asarray(self._fn(self.params, self.out_scale,
+                                  self.out_bias, x))
+        dt = time.perf_counter() - t0
+        self.usecPerImage = dt * 1e6 / b
+        return out[:b]
+
+    def classify(self, x: np.ndarray, *, prepared: bool = False) -> np.ndarray:
+        """Class indices [B] (the reference's inference_multiple)."""
+        return np.argmax(self.logits(x, prepared=prepared), axis=-1)
+
+    def classify_one(self, image: np.ndarray) -> int:
+        """Single image (the reference's `inference`)."""
+        return int(self.classify(image[None])[0])
+
+    def warmup(self, batch: int = 1):
+        shape = ((batch, np.prod(self.config.input_shape))
+                 if self.config.input_kind == "bipolar"
+                 else (batch,) + self.config.input_shape)
+        dummy = np.zeros(shape, dtype=np.int8)
+        self.logits(dummy, prepared=True)
+        return self
+
+    # -- constructors -----------------------------------------------------
+    @classmethod
+    def from_artifact(cls, path: str, **kw) -> "InferenceEngine":
+        from bnn_pynq_tpu.compiler.artifacts import load_artifact
+        return cls(load_artifact(path), **kw)
+
+    @classmethod
+    def from_training(cls, config, params, batch_stats, **kw):
+        from bnn_pynq_tpu.compiler.finnthesizer import compile_network
+        return cls(compile_network(config, params, batch_stats), **kw)
