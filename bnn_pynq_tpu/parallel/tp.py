@@ -1,0 +1,145 @@
+"""Tensor-parallel packed inference over a ('data','model') mesh.
+
+TPU-native replacement for the reference's PE parallelism (SURVEY.md §2:
+output-channel PE folding → output-channel sharding of the packed weight
+matrices over the ICI mesh axis). Megatron-style column parallelism:
+
+- every packed weight matrix [Kw, N] and threshold table [nthr, N] is
+  sharded on N over 'model' (replicated over 'data');
+- each device computes its local output channels with the SAME fused
+  Pallas MVTU kernels as single-chip, then the (tiny, already 1/2-bit
+  coded) activations are all-gathered over 'model' so the next layer sees
+  its full contraction axis;
+- the batch is sharded over 'data' (pure data parallelism — the TPU
+  analogue of the reference's `numReps` batch streaming);
+- the final (classes-wide) layer is replicated: its N is 10/43 and the
+  all-gathered input is already present on every device.
+
+Built with shard_map so the Pallas kernels see explicit local shapes
+(GSPMD cannot partition a pallas_call on its own).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from bnn_pynq_tpu.compiler.finnthesizer import CompiledNetwork
+from bnn_pynq_tpu.models.config import NetworkConfig
+from bnn_pynq_tpu.models.network import LayerPlan, make_plan, _input_codes, \
+    _pack_along_last
+from bnn_pynq_tpu.ops import ref
+from bnn_pynq_tpu.ops.conv import conv2d_packed, maxpool2d, sliding_window
+from bnn_pynq_tpu.ops.matmul import packed_matmul_padded
+from bnn_pynq_tpu.ops.thresholds import multithreshold
+
+
+def param_specs(config: NetworkConfig):
+    """PartitionSpec pytree matching the engine's params list."""
+    plan = make_plan(config)
+    specs = []
+    for lp in plan:
+        if lp.kind == "pool":
+            specs.append({})
+        elif lp.last:
+            # classes-wide final layer: replicated
+            key = "w_int8" if lp.kind == "conv_int8" else "w_packed"
+            specs.append({key: P(None, None)})
+        else:
+            key = "w_int8" if lp.kind == "conv_int8" else "w_packed"
+            specs.append({key: P(None, "model"), "thr": P(None, "model")})
+    return specs
+
+
+def shard_params(params, mesh: Mesh, config: NetworkConfig):
+    """device_put the engine param list with TP shardings."""
+    specs = param_specs(config)
+    return [
+        {k: jax.device_put(v, NamedSharding(mesh, specs[i][k]))
+         for k, v in layer.items()}
+        for i, layer in enumerate(params)
+    ]
+
+
+def make_tp_forward(config: NetworkConfig, mesh: Mesh, *, route: str = "mxu",
+                    interpret=None):
+    """Returns a jitted fn(params, out_scale, out_bias, x) → float logits,
+    sharded batch over 'data' and weights over 'model'."""
+    plan = make_plan(config)
+    bits = config.bits
+
+    def local_forward(params, out_scale, out_bias, x):
+        if config.input_kind == "bipolar":
+            act = _input_codes(config, x.reshape(x.shape[0], -1))
+        else:
+            act = jnp.asarray(x, dtype=jnp.int8)
+        for lp, p in zip(plan, params):
+            thr = None if lp.last else p.get("thr")
+            if lp.kind == "pool":
+                act = maxpool2d(act, lp.window)
+                continue
+            if lp.kind == "conv_int8":
+                patches = sliding_window(act, lp.kernel, lp.kernel, lp.stride)
+                b, oh, ow, k = patches.shape
+                acc = ref.int_matmul_ref(
+                    patches.reshape(b * oh * ow, k), p["w_int8"])
+                acc = acc.reshape(b, oh, ow, -1)
+                act = acc if lp.last else multithreshold(acc, thr)
+            elif lp.kind == "conv":
+                act = conv2d_packed(act, p["w_packed"], thr,
+                                    kernel=lp.kernel, stride=lp.stride,
+                                    bits=bits, route=route,
+                                    interpret=interpret)
+            else:
+                if act.ndim > 2:
+                    act = act.reshape(act.shape[0], -1)
+                a_packed = _pack_along_last(act, bits)
+                act = packed_matmul_padded(a_packed, p["w_packed"], thr,
+                                           k=lp.k, bits=bits, route=route,
+                                           interpret=interpret)
+            if not lp.last:
+                # gather this layer's output channels from the model axis
+                act = jax.lax.all_gather(act, "model", axis=act.ndim - 1,
+                                         tiled=True)
+        logits = act.astype(jnp.float32) * out_scale[None, :] \
+            + out_bias[None, :]
+        return logits
+
+    p_specs = param_specs(config)
+    fn = shard_map(
+        local_forward, mesh=mesh,
+        in_specs=(p_specs, P(None), P(None), P("data")),
+        out_specs=P("data"),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+class TPInferenceEngine:
+    """Multi-chip tensor-parallel engine (same API surface as
+    runtime.InferenceEngine.logits/classify for prepared inputs)."""
+
+    def __init__(self, compiled: CompiledNetwork, mesh: Mesh,
+                 route: str = "mxu", interpret=None):
+        self.compiled = compiled
+        self.config = compiled.config
+        self.mesh = mesh
+        raw = [{k: jnp.asarray(v) for k, v in layer.items()}
+               for layer in compiled.layers]
+        self.params = shard_params(raw, mesh, compiled.config)
+        self.out_scale = jnp.asarray(compiled.out_scale)
+        self.out_bias = jnp.asarray(compiled.out_bias)
+        self._fn = make_tp_forward(compiled.config, mesh, route=route,
+                                   interpret=interpret)
+
+    def logits(self, x_prepared):
+        import numpy as np
+        return np.asarray(self._fn(self.params, self.out_scale,
+                                   self.out_bias, x_prepared))
+
+    def classify(self, x_prepared):
+        return self.logits(x_prepared).argmax(-1)
