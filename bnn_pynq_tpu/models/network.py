@@ -202,6 +202,69 @@ def _unpack_weights(w_packed, k: int, bits: int):
     return packing.codes2_to_levels(packing.unpack_codes2(w_packed, k, axis=0))
 
 
+def decode_params(config: NetworkConfig, params):
+    """Pre-decode packed weights to integer int8 levels once (device-
+    resident), for the 'xla' route: weights stay integers, no float dequant
+    ever; this trades 8× weight bytes (still ≤2 MB for CNV) for letting
+    XLA's int8 MXU convs/matmuls run without in-kernel decode."""
+    plan = make_plan(config)
+    out = []
+    for lp, p in zip(plan, params):
+        if lp.kind == "pool" or "w_int8" in p:
+            out.append(dict(p))
+            continue
+        q = dict(p)
+        w_lev = _unpack_weights(p["w_packed"], lp.k, config.bits)
+        if lp.kind == "conv":
+            c = lp.k // (lp.kernel * lp.kernel)
+            q["w_hwio"] = jnp.asarray(w_lev).reshape(
+                lp.kernel, lp.kernel, c, lp.n)
+        else:
+            q["w_int8"] = jnp.asarray(w_lev)
+        del q["w_packed"]
+        out.append(q)
+    return out
+
+
+def forward_xla(config: NetworkConfig, decoded, x):
+    """Decoded-integer route: XLA int8 convs/matmuls (MXU) with integer
+    MultiThreshold epilogues fused by XLA. Bit-exact with the packed
+    Pallas route (same integer math, different storage)."""
+    plan = make_plan(config)
+    if config.input_kind == "bipolar":
+        x = jnp.asarray(x)
+        act = _input_codes(config, x.reshape(x.shape[0], -1))
+    else:
+        act = jnp.asarray(x, dtype=jnp.int8)
+
+    for lp, p in zip(plan, decoded):
+        thr = None if lp.last else p.get("thr")
+        if lp.kind == "pool":
+            act = maxpool2d(act, lp.window)
+            continue
+        if lp.kind == "conv_int8":
+            vals = act  # raw int8 image input, not in code domain
+        else:
+            if act.ndim > 2 and lp.kind == "dense":
+                act = act.reshape(act.shape[0], -1)
+            vals = codes_to_values(act, config.abits)
+        if lp.kind in ("conv", "conv_int8"):
+            # conv as sliding-window + int8 MXU dot. NOTE: int8
+            # lax.conv_general_dilated hangs the TPU compiler on this
+            # backend (v5e/axon, jax 0.9), while patches+dot_general
+            # compiles fast and hits the MXU — keep the matmul form.
+            w = p["w_hwio"].reshape(lp.k, lp.n) if "w_hwio" in p \
+                else p["w_int8"]
+            patches = sliding_window(vals, lp.kernel, lp.kernel, lp.stride)
+            b, oh, ow, k = patches.shape
+            acc = ref.int_matmul_ref(patches.reshape(b * oh * ow, k), w)
+            acc = acc.reshape(b, oh, ow, lp.n)
+        else:
+            acc = ref.int_matmul_ref(vals, p["w_int8"])
+        act = acc if lp.last else multithreshold(acc, thr)
+    return act
+
+
 def make_forward_fn(config: NetworkConfig, *, impl: str = "pallas",
                     route: str = "mxu", interpret=None):
     """Return a jittable `fn(params, x) -> logits` closure."""

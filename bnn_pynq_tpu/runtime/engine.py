@@ -24,7 +24,7 @@ import numpy as np
 
 from bnn_pynq_tpu.compiler.finnthesizer import CompiledNetwork
 from bnn_pynq_tpu.models.config import NetworkConfig
-from bnn_pynq_tpu.models.network import forward
+from bnn_pynq_tpu.models.network import decode_params, forward, forward_xla
 from bnn_pynq_tpu.ops.matmul import on_tpu
 
 DEFAULT_BATCH_BUCKETS = (1, 16, 64, 256, 1024)
@@ -34,8 +34,10 @@ class InferenceEngine:
     """Loads a CompiledNetwork and serves classifications."""
 
     def __init__(self, compiled: CompiledNetwork, runtime: str = "auto",
-                 route: str = "mxu",
+                 route: str = "xla",
                  batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS):
+        """route: 'xla' (decoded-integer MXU convs/matmuls, the fastest
+        path measured on v5e), 'mxu' or 'vpu' (packed Pallas kernels)."""
         self.compiled = compiled
         self.config: NetworkConfig = compiled.config
         if runtime == "auto":
@@ -56,13 +58,20 @@ class InferenceEngine:
         self.out_scale = jnp.asarray(compiled.out_scale)
         self.out_bias = jnp.asarray(compiled.out_bias)
 
+        use_xla_route = route == "xla" and runtime != "ref"
+        if use_xla_route:
+            self.params = decode_params(self.config, self.params)
+
         impl = "ref" if runtime == "ref" else "pallas"
         interpret = None if runtime == "tpu" else (runtime == "interpret")
 
         @partial(jax.jit, static_argnums=())
         def _fn(params, out_scale, out_bias, x):
-            acc = forward(self.config, params, x, impl=impl,
-                          route=route, interpret=interpret)
+            if use_xla_route:
+                acc = forward_xla(self.config, params, x)
+            else:
+                acc = forward(self.config, params, x, impl=impl,
+                              route=route, interpret=interpret)
             return acc.astype(jnp.float32) * out_scale[None, :] \
                 + out_bias[None, :]
 

@@ -105,8 +105,22 @@ def test_pallas_runtime_matches_ref_runtime():
     x_uint8, _ = _inputs(cfg, rng, b=4)
     compiled = compile_network(cfg, params, stats)
     e_ref = InferenceEngine(compiled, runtime="ref")
-    e_pl = InferenceEngine(compiled, runtime="interpret")
+    e_pl = InferenceEngine(compiled, runtime="interpret", route="mxu")
     np.testing.assert_array_equal(e_ref.logits(x_uint8), e_pl.logits(x_uint8))
+
+
+@pytest.mark.parametrize("make_cfg,wbits,abits", [
+    (mini_mlp, 1, 1), (mini_cnv, 1, 2), (mini_cnv, 2, 2),
+])
+def test_xla_route_matches_ref_runtime(make_cfg, wbits, abits):
+    cfg = make_cfg(wbits, abits)
+    model, params, stats = init_perturbed(cfg, seed=6)
+    rng = np.random.default_rng(1)
+    x_uint8, _ = _inputs(cfg, rng, b=8)
+    compiled = compile_network(cfg, params, stats)
+    e_ref = InferenceEngine(compiled, runtime="ref")
+    e_xla = InferenceEngine(compiled, runtime="interpret", route="xla")
+    np.testing.assert_array_equal(e_ref.logits(x_uint8), e_xla.logits(x_uint8))
 
 
 def test_artifact_roundtrip(tmp_path):
