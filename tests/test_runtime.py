@@ -1,0 +1,110 @@
+"""Classifier API + continuous-batching server (SURVEY.md C12 + serving)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from bnn_pynq_tpu.compiler import compile_network
+from bnn_pynq_tpu.runtime.classifier import (Classifier, GTSRB_CLASSES,
+                                             available_params)
+from bnn_pynq_tpu.runtime.engine import InferenceEngine
+from bnn_pynq_tpu.runtime.serving import BatchingServer
+from tests.test_finnthesizer import init_perturbed, mini_cnv, mini_mlp
+
+
+@pytest.fixture(scope="module")
+def cnv_engine():
+    cfg = mini_cnv(1, 1)
+    _, params, stats = init_perturbed(cfg, seed=20)
+    return InferenceEngine(compile_network(cfg, params, stats),
+                           runtime="ref")
+
+
+def test_classifier_single_and_batch(cnv_engine):
+    clf = Classifier(cnv_engine)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, size=(5, 10, 10, 3)).astype(np.uint8)
+    batch_pred = clf.classify_images(imgs)
+    assert batch_pred.shape == (5,)
+    one = clf.classify_image(imgs[0])
+    assert one == batch_pred[0]
+    assert isinstance(clf.class_name(one), str)
+    assert clf.usecPerImage is not None and clf.usecPerImage > 0
+
+
+def test_classifier_resizes_and_converts(cnv_engine):
+    clf = Classifier(cnv_engine)
+    rng = np.random.default_rng(1)
+    big_gray = rng.integers(0, 256, size=(40, 50)).astype(np.uint8)
+    pred = clf.classify_image(big_gray)   # grayscale → RGB + resize
+    assert 0 <= pred < 10
+
+
+def test_classifier_details_match_logits(cnv_engine):
+    clf = Classifier(cnv_engine)
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(10, 10, 3)).astype(np.uint8)
+    logits = clf.classify_image_details(img)
+    assert logits.shape == (10,)
+    assert logits.argmax() == clf.classify_image(img)
+
+
+def test_gtsrb_names_complete():
+    assert len(GTSRB_CLASSES) == 43
+    assert len(set(GTSRB_CLASSES)) == 43
+
+
+def test_available_params(tmp_path, monkeypatch):
+    monkeypatch.setenv("BNN_PARAMS_DIR", str(tmp_path))
+    (tmp_path / "cnv-w1a1.npz").write_bytes(b"x")
+    (tmp_path / "lfc-w1a1.npz").write_bytes(b"x")
+    assert available_params() == ["cnv-w1a1.npz", "lfc-w1a1.npz"]
+    assert available_params("cnv") == ["cnv-w1a1.npz"]
+
+
+def test_batching_server_correct_and_batches(cnv_engine):
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, size=(32, 10, 10, 3)).astype(np.uint8)
+    prepared = cnv_engine.prepare(imgs)
+    expected = cnv_engine.classify(prepared, prepared=True)
+
+    server = BatchingServer(cnv_engine, max_batch=16, max_wait_ms=20.0)
+    try:
+        futures = [server.submit(prepared[i]) for i in range(32)]
+        got = np.array([f.result(30) for f in futures])
+    finally:
+        server.stop()
+    np.testing.assert_array_equal(got, expected)
+    assert server.stats.requests == 32
+    # batching actually grouped requests (fewer engine calls than requests)
+    assert server.stats.batches < 32
+    s = server.stats.summary()
+    assert s["p50_ms"] > 0
+
+
+def test_batching_server_concurrent_clients(cnv_engine):
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 256, size=(24, 10, 10, 3)).astype(np.uint8)
+    prepared = cnv_engine.prepare(imgs)
+    expected = cnv_engine.classify(prepared, prepared=True)
+    server = BatchingServer(cnv_engine, max_batch=8, max_wait_ms=5.0)
+    results = {}
+    lock = threading.Lock()
+
+    def client(i):
+        r = server.classify(prepared[i])
+        with lock:
+            results[i] = r
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(24)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(30)
+    finally:
+        server.stop()
+    got = np.array([results[i] for i in range(24)])
+    np.testing.assert_array_equal(got, expected)
