@@ -5,20 +5,24 @@ Baseline: the reference's published CNV-max throughput, 21_900 images/s
 (FINN paper, ZC706 @200 MHz — BASELINE.md; the repo's own PYNQ-Z1 numbers
 were never durably published, so the larger published number is used).
 
-Timing method: chained launches with a single device→host fetch at the
-end (block_until_ready is unreliable through the axon tunnel), steady
-state after warmup.
+Robustness: the measurement runs in a subprocess with a hard timeout so a
+wedged device/tunnel yields an error JSON line instead of a hang. Timing
+uses chained launches with a single device→host fetch at the end
+(block_until_ready is unreliable through the axon tunnel).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-import numpy as np
-
 BASELINE_IMAGES_PER_SEC = 21_900.0
+INNER_TIMEOUT_S = int(os.environ.get("BENCH_TIMEOUT_S", "1500"))
 
 
 def bench_cnv_w1a1(batch: int = 1024, iters: int = 20, route: str = "xla"):
+    import numpy as np
     import jax
     from bnn_pynq_tpu.models import get_config
     from bnn_pynq_tpu.models.network import init_random_params
@@ -42,7 +46,8 @@ def bench_cnv_w1a1(batch: int = 1024, iters: int = 20, route: str = "xla"):
     xd = jax.device_put(x)
 
     # warmup (compile)
-    np.asarray(engine._fn(engine.params, engine.out_scale, engine.out_bias, xd))
+    np.asarray(engine._fn(engine.params, engine.out_scale, engine.out_bias,
+                          xd))
 
     t0 = time.perf_counter()
     outs = [engine._fn(engine.params, engine.out_scale, engine.out_bias, xd)
@@ -52,11 +57,37 @@ def bench_cnv_w1a1(batch: int = 1024, iters: int = 20, route: str = "xla"):
     return batch / dt
 
 
-if __name__ == "__main__":
-    imgs_per_sec = bench_cnv_w1a1()
-    print(json.dumps({
+def _emit(value: float, error: str = ""):
+    payload = {
         "metric": "cnv-w1a1_cifar10_images_per_sec_1chip",
-        "value": round(imgs_per_sec, 1),
+        "value": round(value, 1),
         "unit": "images/s",
-        "vs_baseline": round(imgs_per_sec / BASELINE_IMAGES_PER_SEC, 3),
-    }))
+        "vs_baseline": round(value / BASELINE_IMAGES_PER_SEC, 3),
+    }
+    if error:
+        payload["error"] = error
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    if "--inner" in sys.argv:
+        print(json.dumps({"imgs_per_sec": bench_cnv_w1a1()}))
+        sys.exit(0)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--inner"],
+            capture_output=True, text=True, timeout=INNER_TIMEOUT_S,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        result = None
+        for line in (proc.stdout or "").splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                result = json.loads(line)
+        if result is None:
+            tail = (proc.stderr or "")[-400:]
+            _emit(0.0, f"bench subprocess produced no result: {tail}")
+        else:
+            _emit(result["imgs_per_sec"])
+    except subprocess.TimeoutExpired:
+        _emit(0.0, f"bench timed out after {INNER_TIMEOUT_S}s "
+                   "(device/tunnel unresponsive)")

@@ -64,13 +64,29 @@ def conv2d_packed(x_codes, w_packed, thr=None, *, kernel: int, stride: int = 1,
     """
     b, h, w, c = x_codes.shape
     k = kernel * kernel * c
-    patches = sliding_window(x_codes, kernel, kernel, stride)
-    oh, ow = patches.shape[1], patches.shape[2]
-    flat = patches.reshape(b * oh * ow, k)
-    if bits == 1:
-        a_packed = packing.pack_bits(flat, axis=-1)
+    per_word = packing.WORD_BITS // bits
+    if c % per_word == 0:
+        # Pack along C FIRST, then window the packed words: the im2col
+        # duplication (kernel² copies) then happens on 32×-compressed
+        # words instead of int8 codes, cutting its HBM traffic 8×/16×.
+        # Valid because words never straddle a window position when
+        # C % per_word == 0, so the packed patch order equals packing the
+        # (ki,kj,c)-ordered patches directly.
+        if bits == 1:
+            xp = packing.pack_bits(x_codes, axis=-1)
+        else:
+            xp = packing.pack_codes2(x_codes, axis=-1)
+        patches = sliding_window(xp, kernel, kernel, stride)
+        oh, ow = patches.shape[1], patches.shape[2]
+        a_packed = patches.reshape(b * oh * ow, patches.shape[-1])
     else:
-        a_packed = packing.pack_codes2(flat, axis=-1)
+        patches = sliding_window(x_codes, kernel, kernel, stride)
+        oh, ow = patches.shape[1], patches.shape[2]
+        flat = patches.reshape(b * oh * ow, k)
+        if bits == 1:
+            a_packed = packing.pack_bits(flat, axis=-1)
+        else:
+            a_packed = packing.pack_codes2(flat, axis=-1)
     out = packed_matmul_padded(a_packed, w_packed, thr, k=k, bits=bits,
                                route=route, block_m=block_m,
                                interpret=interpret)

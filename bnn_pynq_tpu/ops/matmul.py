@@ -95,6 +95,24 @@ def _mxu_kernel(a_ref, w_ref, out_ref, *, bits, pad_contrib, thr_refs, nthr,
     _emit(acc, out_ref, thr_refs, nthr, out_codes)
 
 
+def _mxu_t_kernel(at_ref, w_ref, out_ref, *, bits, pad_contrib, thr_refs,
+                  nthr, out_codes):
+    """Transposed-activation MXU kernel: both operands arrive as
+    [Kw, tile] so the bit-plane decode concatenates along the SUBLANE axis
+    with full 128-lane tiles (the row-major variant decodes activation
+    tiles with only Kw lanes live — Kw is ~18-144 for these nets, wasting
+    most of the VPU). The MXU contracts dim 0 of both decoded operands."""
+    a_dec = _decode_planes(at_ref[:], bits, axis=0)       # [Kdec, TM] int8
+    w_dec = _decode_planes(w_ref[:], bits, axis=0)        # [Kdec, TN] int8
+    acc = jax.lax.dot_general(
+        a_dec, w_dec,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                      # [TM, TN]
+    acc = acc - jnp.int32(pad_contrib)
+    _emit(acc, out_ref, thr_refs, nthr, out_codes)
+
+
 def _vpu_kernel(a_ref, w_ref, out_ref, *, k_true, thr_refs, nthr, out_codes):
     kw = a_ref.shape[1]
     tm = a_ref.shape[0]
@@ -162,6 +180,8 @@ def packed_matmul(a_packed, w_packed, thr=None, *, k, bits=1, route="mxu",
     _check_divisible("N", n, block_n)
     if route == "vpu" and bits != 1:
         raise ValueError("route='vpu' (XNOR popcount) requires bits=1")
+    if route not in ("mxu", "mxu_rm", "vpu"):
+        raise ValueError(f"unknown route {route!r}")
 
     n_pad = kw * per_word - k
     padval = -1 if bits == 1 else -3
@@ -172,13 +192,22 @@ def packed_matmul(a_packed, w_packed, thr=None, *, k, bits=1, route="mxu",
     out_dtype = jnp.int8 if out_codes else jnp.int32
 
     grid = (m // block_m, n // block_n)
+    if route == "mxu":
+        # transposed-activation layout: [Kw, M] with M on lanes (the
+        # transpose fuses into the caller's packing ops under jit)
+        a_operand = jnp.transpose(a_packed)
+        a_spec = pl.BlockSpec((kw, block_m), lambda i, j: (0, i),
+                              memory_space=pltpu.VMEM)
+    else:
+        a_operand = a_packed
+        a_spec = pl.BlockSpec((block_m, kw), lambda i, j: (i, 0),
+                              memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((block_m, kw), lambda i, j: (i, 0),
-                     memory_space=pltpu.VMEM),
+        a_spec,
         pl.BlockSpec((kw, block_n), lambda i, j: (0, j),
                      memory_space=pltpu.VMEM),
     ]
-    operands = [a_packed, w_packed]
+    operands = [a_operand, w_packed]
     if out_codes:
         in_specs.append(
             pl.BlockSpec((nthr, block_n), lambda i, j: (0, j),
@@ -200,6 +229,10 @@ def packed_matmul(a_packed, w_packed, thr=None, *, k, bits=1, route="mxu",
             a_ref, w_ref, out_ref = refs
             thr_refs = ()
         if route == "mxu":
+            _mxu_t_kernel(a_ref, w_ref, out_ref, bits=bits,
+                          pad_contrib=pad_contrib, thr_refs=thr_refs,
+                          nthr=nthr, out_codes=out_codes)
+        elif route == "mxu_rm":
             _mxu_kernel(a_ref, w_ref, out_ref, bits=bits,
                         pad_contrib=pad_contrib, thr_refs=thr_refs,
                         nthr=nthr, out_codes=out_codes)

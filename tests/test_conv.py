@@ -35,7 +35,7 @@ def test_sliding_window_stride2(rng):
     np.testing.assert_array_equal(acc.reshape(b, oh, ow, 4), golden)
 
 
-@pytest.mark.parametrize("route", ["mxu", "vpu"])
+@pytest.mark.parametrize("route", ["mxu", "mxu_rm", "vpu"])
 def test_conv2d_packed_w1a1(rng, route):
     b, h, w_, cin, cout = 2, 10, 10, 32, 64
     codes = rng.integers(0, 2, size=(b, h, w_, cin)).astype(np.int8)

@@ -27,7 +27,7 @@ def _random_codes(rng, m, k, n, w_binary):
     return a_codes, w_codes
 
 
-@pytest.mark.parametrize("route", ["mxu", "vpu"])
+@pytest.mark.parametrize("route", ["mxu", "mxu_rm", "vpu"])
 @pytest.mark.parametrize("m,k,n", [(128, 256, 128), (128, 100, 128),
                                    (256, 784, 256)])
 def test_w1a1_acc_exact(rng, route, m, k, n):
@@ -39,7 +39,7 @@ def test_w1a1_acc_exact(rng, route, m, k, n):
     np.testing.assert_array_equal(np.asarray(out), golden)
 
 
-@pytest.mark.parametrize("route", ["mxu", "vpu"])
+@pytest.mark.parametrize("route", ["mxu", "mxu_rm", "vpu"])
 def test_w1a1_threshold_fused(rng, route):
     m, k, n = 128, 200, 128
     a, w = _random_w1a1(rng, m, k, n)
