@@ -142,6 +142,15 @@ def compile_network(config: NetworkConfig, params, batch_stats,
         var = np.asarray(bn_s["var"])
 
         wl = _quantize_weights_np(w, config.wbits)      # integer levels
+        # Static overflow guard (SURVEY.md §5.2): int32 accumulators must
+        # hold |acc| <= K * max|w| * max|a| with margin for the sentinel
+        # thresholds (|thr| <= 2^30).
+        k_len = int(np.prod(w.shape[:-1]))
+        max_a = 127 if (config.input_kind == "int8"
+                        and f"quant_{i}" == f"quant_{first_compute}") else 3
+        assert k_len * 3 * max_a < (1 << 30), (
+            f"layer {i}: accumulator range {k_len * 3 * max_a} risks int32 "
+            "overflow against sentinel thresholds")
         if wl.ndim == 4:
             kh, kw, cin, cout = wl.shape
             wmat = wl.reshape(kh * kw * cin, cout)      # (ki,kj,c) order

@@ -105,8 +105,12 @@ def train(config: NetworkConfig, dataset=None, *, epochs: int = 10,
           batch_size: int = 100, lr_start: float = 1e-3,
           lr_end: float = 1e-6, glorot_lr_scale: bool = True,
           seed: int = 0, checkpoint_path: Optional[str] = None,
-          log_every: int = 0, max_train: Optional[int] = None) -> TrainResult:
-    """Train a quantized network; returns best-validation params."""
+          log_every: int = 0, max_train: Optional[int] = None,
+          resume_from: Optional[str] = None) -> TrainResult:
+    """Train a quantized network; returns best-validation params.
+
+    `resume_from`: warm-start params/batch_stats from a prior .npz
+    checkpoint (SURVEY.md §5.4 checkpoint/resume)."""
     if dataset is None:
         dataset = data_mod.load(config.dataset)
     x_train = data_mod.train_inputs(config.dataset, dataset.x_train,
@@ -121,6 +125,8 @@ def train(config: NetworkConfig, dataset=None, *, epochs: int = 10,
     rng = jax.random.PRNGKey(seed)
     variables = model.init(rng, x_train[:2], train=False)
     params, batch_stats = variables["params"], variables["batch_stats"]
+    if resume_from:
+        params, batch_stats, _ = load_checkpoint(resume_from)
 
     steps_per_epoch = max(1, len(x_train) // batch_size)
     total_steps = epochs * steps_per_epoch

@@ -1,0 +1,38 @@
+"""Profiling helpers (SURVEY.md §5.1 rebuild: jax.profiler traces +
+steady-state timing that is robust to the axon tunnel's unreliable
+block_until_ready)."""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/bnn_trace", enabled: bool = True):
+    """Wrap a region in a jax.profiler trace viewable in TensorBoard/xprof."""
+    if not enabled:
+        yield
+        return
+    import jax
+    os.makedirs(log_dir, exist_ok=True)
+    with jax.profiler.trace(log_dir):
+        yield
+
+
+def steady_state_time(launch: Callable[[], object], iters: int = 20,
+                      warmup: int = 2) -> float:
+    """Seconds per launch: chains `iters` async launches and forces ONE
+    device→host fetch at the end (np.asarray), so per-call dispatch
+    overlaps and the tunnel round-trip amortizes."""
+    for _ in range(warmup):
+        out = launch()
+    np.asarray(out)  # noqa: F841 — force completion of warmup
+    t0 = time.perf_counter()
+    outs = [launch() for _ in range(iters)]
+    np.asarray(outs[-1])
+    return (time.perf_counter() - t0) / iters
