@@ -142,14 +142,25 @@ def forward(config: NetworkConfig, params, x, *, impl: str = "pallas",
     """Run the network. Returns int32 logits [B, num_classes].
 
     x: bipolar nets — any array broadcastable to [B, 784] (values ±1 or
-       floats, binarized at >0); int8 nets — int8 [B, H, W, C].
+       floats, binarized at >0), OR host-packed uint32 words
+       [B, packed_len] for impl='pallas' bits=1 (the reference's
+       binarizeAndPack input contract, produced by native.binarize_pack);
+       int8 nets — int8 [B, H, W, C].
     """
     plan = make_plan(config)
     bits = config.bits
 
+    packed_input = False
     if config.input_kind == "bipolar":
         x = jnp.asarray(x)
-        act = _input_codes(config, x.reshape(x.shape[0], -1))
+        if x.dtype == jnp.uint32:
+            if impl != "pallas" or bits != 1:
+                raise ValueError("packed input requires impl='pallas' and "
+                                 "a W1A1 network")
+            act = x.reshape(x.shape[0], -1)
+            packed_input = True
+        else:
+            act = _input_codes(config, x.reshape(x.shape[0], -1))
     else:
         act = jnp.asarray(x, dtype=jnp.int8)
 
@@ -182,7 +193,10 @@ def forward(config: NetworkConfig, params, x, *, impl: str = "pallas",
             if act.ndim > 2:
                 act = act.reshape(act.shape[0], -1)
             if impl == "pallas":
-                a_packed = _pack_along_last(act, bits)
+                if packed_input:
+                    a_packed, packed_input = act, False
+                else:
+                    a_packed = _pack_along_last(act, bits)
                 act = packed_matmul_padded(a_packed, p["w_packed"], thr,
                                            k=lp.k, bits=bits, route=route,
                                            interpret=interpret)

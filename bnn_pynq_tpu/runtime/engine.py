@@ -115,6 +115,31 @@ class InferenceEngine:
         self.usecPerImage = dt * 1e6 / b
         return out[:b]
 
+    def logits_packed(self, x_uint8: np.ndarray) -> np.ndarray:
+        """Host-packed input path for W1A1 bipolar nets (the reference's
+        binarizeAndPack contract, SURVEY.md C10): images are binarized and
+        bit-packed on the host by the native library, and the device
+        consumes uint32 words directly — 32× less host→device traffic.
+        Requires a packed route ('mxu'/'vpu'), not 'xla'."""
+        from bnn_pynq_tpu import native
+        if self.config.input_kind != "bipolar" or self.config.bits != 1:
+            raise ValueError("packed input is for W1A1 bipolar networks")
+        if self.route == "xla":
+            raise ValueError("packed input requires a packed route "
+                             "('mxu'/'vpu'), not 'xla'")
+        words = native.binarize_pack(
+            x_uint8.reshape(x_uint8.shape[0], -1))
+        b = words.shape[0]
+        bucket = self._bucket(b)
+        if bucket != b:
+            words = np.concatenate(
+                [words, np.zeros((bucket - b, words.shape[1]), np.uint32)])
+        t0 = time.perf_counter()
+        out = np.asarray(self._fn(self.params, self.out_scale,
+                                  self.out_bias, jnp.asarray(words)))
+        self.usecPerImage = (time.perf_counter() - t0) * 1e6 / b
+        return out[:b]
+
     def classify(self, x: np.ndarray, *, prepared: bool = False) -> np.ndarray:
         """Class indices [B] (the reference's inference_multiple)."""
         return np.argmax(self.logits(x, prepared=prepared), axis=-1)

@@ -62,8 +62,14 @@ class QuantConv(nn.Module):
 
 
 class QuantNet(nn.Module):
-    """Float-forward quantized network for a NetworkConfig."""
+    """Float-forward quantized network for a NetworkConfig.
+
+    `stochastic=True` + train=True uses stochastic activation
+    binarization (the reference's stochastic mode; needs an rng named
+    'quant' in apply(..., rngs={'quant': key})). Evaluation and the
+    parameter compiler always use the deterministic quantizer."""
     config: Any  # NetworkConfig (kept Any for flax dataclass hashing)
+    stochastic: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -90,5 +96,9 @@ class QuantNet(nn.Module):
                              momentum=BN_MOMENTUM, epsilon=BN_EPS,
                              name=f"bn_{i}")(x)
             if i != last_compute:
-                x = quantize_activations(x, cfg.abits)
+                if self.stochastic and train and cfg.abits == 1:
+                    from bnn_pynq_tpu.train.quant import binarize_stochastic
+                    x = binarize_stochastic(x, self.make_rng("quant"))
+                else:
+                    x = quantize_activations(x, cfg.abits)
         return x

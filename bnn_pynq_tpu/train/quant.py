@@ -70,6 +70,29 @@ def _quantize2_bwd(x, g):
 quantize2.defvjp(_quantize2_fwd, _quantize2_bwd)
 
 
+@jax.custom_vjp
+def _binarize_stochastic(x, u):
+    """Stochastic binarization: P(+1) = hard_sigmoid((x+1)/2), u ~ U[0,1).
+    The reference's stochastic=True training mode («binary_net.py»)."""
+    p = jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+    return jnp.where(u < p, 1.0, -1.0).astype(x.dtype)
+
+
+def _bin_sto_fwd(x, u):
+    return _binarize_stochastic(x, u), x
+
+
+def _bin_sto_bwd(x, g):
+    return (_ste_bwd_mask(x, g), None)
+
+
+_binarize_stochastic.defvjp(_bin_sto_fwd, _bin_sto_bwd)
+
+
+def binarize_stochastic(x, key):
+    return _binarize_stochastic(x, jax.random.uniform(key, x.shape))
+
+
 def quantize_weights(w, wbits: int):
     """Weight quantizer used in the forward pass of training."""
     if wbits == 1:

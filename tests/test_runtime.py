@@ -63,6 +63,28 @@ def test_available_params(tmp_path, monkeypatch):
     assert available_params("cnv") == ["cnv-w1a1.npz"]
 
 
+def test_packed_input_path_matches_standard():
+    cfg = mini_mlp(1, 1)
+    _, params, stats = init_perturbed(cfg, seed=30)
+    compiled = compile_network(cfg, params, stats)
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 256, size=(6,) + cfg.input_shape).astype(np.uint8)
+    e = InferenceEngine(compiled, runtime="interpret", route="mxu",
+                        batch_buckets=(8,))
+    standard = e.logits(imgs)
+    packed = e.logits_packed(imgs)
+    np.testing.assert_array_equal(packed, standard)
+
+
+def test_packed_input_rejects_xla_route():
+    cfg = mini_mlp(1, 1)
+    _, params, stats = init_perturbed(cfg, seed=30)
+    e = InferenceEngine(compile_network(cfg, params, stats),
+                        runtime="interpret", route="xla")
+    with pytest.raises(ValueError):
+        e.logits_packed(np.zeros((1, 8, 8, 1), np.uint8))
+
+
 def test_batching_server_correct_and_batches(cnv_engine):
     rng = np.random.default_rng(3)
     imgs = rng.integers(0, 256, size=(32, 10, 10, 3)).astype(np.uint8)

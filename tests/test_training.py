@@ -94,6 +94,38 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+def test_stochastic_binarization():
+    import jax
+    import jax.numpy as jnp
+    from bnn_pynq_tpu.train.quant import binarize_stochastic
+    x = jnp.zeros((10000,))  # p(+1) = 0.5
+    out = binarize_stochastic(x, jax.random.PRNGKey(0))
+    frac = float(jnp.mean(out > 0))
+    assert 0.45 < frac < 0.55
+    assert set(np.unique(np.asarray(out))) <= {-1.0, 1.0}
+    # extremes are deterministic
+    hi = binarize_stochastic(jnp.full((100,), 2.0), jax.random.PRNGKey(1))
+    assert float(jnp.min(hi)) == 1.0
+    # STE gradient passes inside the clip region
+    g = jax.grad(lambda v: jnp.sum(binarize_stochastic(v, jax.random.PRNGKey(2))))(
+        jnp.array([0.5, 3.0]))
+    np.testing.assert_array_equal(np.asarray(g), [1.0, 0.0])
+
+
+def test_stochastic_model_trains():
+    cfg = tiny_mlp(1, 1)
+    ds = tiny_dataset(128, 64)
+    model = QuantNet(cfg, stochastic=True)
+    x = data_mod.to_bipolar(ds.x_train[:8])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "quant": jax.random.PRNGKey(1)},
+        x, train=True)
+    out, _ = model.apply(variables, x, train=True,
+                         rngs={"quant": jax.random.PRNGKey(2)},
+                         mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_weight_clip_applied():
     cfg = tiny_mlp()
     ds = tiny_dataset(128, 64)
