@@ -59,21 +59,44 @@ class InferenceEngine:
         self.out_bias = jnp.asarray(compiled.out_bias)
 
         use_xla_route = route == "xla" and runtime != "ref"
-        if use_xla_route:
+        use_fused = route == "fused" and runtime != "ref"
+        if use_fused:
+            from bnn_pynq_tpu.models.config import DenseSpec
+            if not all(isinstance(s, DenseSpec) for s in self.config.layers):
+                raise ValueError("route='fused' (whole-network VMEM kernel) "
+                                 "currently supports all-dense MLPs")
+        if use_xla_route or use_fused:
             self.params = decode_params(self.config, self.params)
 
         impl = "ref" if runtime == "ref" else "pallas"
         interpret = None if runtime == "tpu" else (runtime == "interpret")
+        abits = self.config.abits
 
-        @partial(jax.jit, static_argnums=())
-        def _fn(params, out_scale, out_bias, x):
-            if use_xla_route:
-                acc = forward_xla(self.config, params, x)
-            else:
-                acc = forward(self.config, params, x, impl=impl,
-                              route=route, interpret=interpret)
-            return acc.astype(jnp.float32) * out_scale[None, :] \
-                + out_bias[None, :]
+        if use_fused:
+            from bnn_pynq_tpu.ops.fused_mlp import fused_mlp_forward_padded
+            weights = [p["w_int8"] for p in self.params]
+            thrs = [p["thr"] for p in self.params[:-1]]
+
+            @partial(jax.jit, static_argnums=())
+            def _fn(params, out_scale, out_bias, x):
+                pos = x.reshape(x.shape[0], -1) > 0
+                if abits == 1:
+                    codes = pos.astype(jnp.int8)
+                else:
+                    codes = jnp.where(pos, jnp.int8(2), jnp.int8(1))
+                return fused_mlp_forward_padded(
+                    codes, weights, thrs, out_scale, out_bias,
+                    abits=abits, interpret=interpret)
+        else:
+            @partial(jax.jit, static_argnums=())
+            def _fn(params, out_scale, out_bias, x):
+                if use_xla_route:
+                    acc = forward_xla(self.config, params, x)
+                else:
+                    acc = forward(self.config, params, x, impl=impl,
+                                  route=route, interpret=interpret)
+                return acc.astype(jnp.float32) * out_scale[None, :] \
+                    + out_bias[None, :]
 
         self._fn = _fn
 

@@ -123,6 +123,19 @@ def test_xla_route_matches_ref_runtime(make_cfg, wbits, abits):
     np.testing.assert_array_equal(e_ref.logits(x_uint8), e_xla.logits(x_uint8))
 
 
+@pytest.mark.parametrize("wbits,abits", [(1, 1), (1, 2)])
+def test_fused_mlp_route_matches_ref(wbits, abits):
+    cfg = mini_mlp(wbits, abits)
+    model, params, stats = init_perturbed(cfg, seed=8)
+    rng = np.random.default_rng(4)
+    x_uint8, _ = _inputs(cfg, rng, b=10)
+    compiled = compile_network(cfg, params, stats)
+    e_ref = InferenceEngine(compiled, runtime="ref")
+    e_fused = InferenceEngine(compiled, runtime="interpret", route="fused")
+    np.testing.assert_allclose(e_fused.logits(x_uint8), e_ref.logits(x_uint8),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_artifact_roundtrip(tmp_path):
     cfg = mini_mlp(1, 1)
     model, params, stats = init_perturbed(cfg, seed=9)
