@@ -99,6 +99,35 @@ def cmd_bench(args):
     }))
 
 
+def cmd_eval(args):
+    """Test-set accuracy of an artifact (the accuracy gate of BASELINE.md
+    when real datasets are present; flags synthetic data loudly)."""
+    from bnn_pynq_tpu.runtime.engine import InferenceEngine
+    from bnn_pynq_tpu.train import data as data_mod
+
+    engine = InferenceEngine.from_artifact(args.artifact,
+                                           runtime=args.runtime)
+    cfg = engine.config
+    ds = data_mod.load(cfg.dataset)
+    correct = total = 0
+    bs = args.batch
+    for i in range(0, len(ds.x_test), bs):
+        xs, ys = ds.x_test[i:i + bs], ds.y_test[i:i + bs]
+        correct += int((engine.classify(xs) == ys).sum())
+        total += len(ys)
+    print(json.dumps({
+        "network": cfg.name, "dataset": cfg.dataset,
+        "synthetic_data": ds.synthetic,
+        "top1_accuracy": round(correct / total, 5), "n_test": total,
+    }))
+
+
+def cmd_serve(args):
+    from bnn_pynq_tpu.runtime.http_server import serve
+    serve(args.artifact, host=args.host, port=args.port,
+          runtime=args.runtime)
+
+
 def cmd_info(args):
     from bnn_pynq_tpu.models import AVAILABLE_CONFIGS, get_config
     from bnn_pynq_tpu.models.network import make_plan
@@ -152,6 +181,19 @@ def main(argv=None):
     b.add_argument("--runtime", default="auto")
     b.add_argument("--route", default="xla")
     b.set_defaults(fn=cmd_bench)
+
+    e = sub.add_parser("eval", help="test-set accuracy of an artifact")
+    e.add_argument("artifact")
+    e.add_argument("--batch", type=int, default=1024)
+    e.add_argument("--runtime", default="auto")
+    e.set_defaults(fn=cmd_eval)
+
+    s = sub.add_parser("serve", help="HTTP classification server")
+    s.add_argument("artifact")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8476)
+    s.add_argument("--runtime", default="auto")
+    s.set_defaults(fn=cmd_serve)
 
     i = sub.add_parser("info", help="list networks / show a network plan")
     i.add_argument("network", nargs="?")

@@ -1,0 +1,93 @@
+"""Minimal HTTP serving endpoint over the continuous-batching server —
+the DCN-facing half of multi-host serving (each host runs one of these;
+`runtime/frontend.Frontend` or any LB fans requests out).
+
+    python -m bnn_pynq_tpu.runtime.http_server artifacts/cnv-w1a1.npz
+
+Protocol (stdlib-only on both sides):
+  POST /classify   body = npz bytes with array 'x' (uint8 image batch)
+                   → JSON {"classes": [...], "usec_per_image": float}
+  GET  /healthz    → 200 "ok" (the Frontend heartbeat probe)
+  GET  /stats      → JSON batching stats
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from bnn_pynq_tpu.runtime.classifier import Classifier
+from bnn_pynq_tpu.runtime.serving import BatchingServer
+
+
+def make_handler(classifier: Classifier, server: BatchingServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def _send(self, code: int, body: bytes,
+                  ctype: str = "application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, b"ok", "text/plain")
+            elif self.path == "/stats":
+                self._send(200, json.dumps(
+                    server.stats.summary()).encode())
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/classify":
+                self._send(404, b"not found", "text/plain")
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                data = np.load(io.BytesIO(self.rfile.read(length)),
+                               allow_pickle=False)
+                x = data["x"]
+                prepared = classifier.engine.prepare(
+                    classifier._to_batch(x))
+                futures = [server.submit(p) for p in prepared]
+                classes = [int(f.result(60)) for f in futures]
+                self._send(200, json.dumps({
+                    "classes": classes,
+                    "names": [classifier.class_name(c) for c in classes],
+                }).encode())
+            except Exception as e:
+                self._send(400, json.dumps({"error": str(e)}).encode())
+
+    return Handler
+
+
+def serve(artifact: str, host: str = "127.0.0.1", port: int = 8476,
+          runtime: str = "auto", block: bool = True):
+    clf = Classifier.from_artifact(artifact, runtime=runtime)
+    batcher = BatchingServer(clf.engine, max_batch=256, max_wait_ms=3.0)
+    httpd = ThreadingHTTPServer((host, port),
+                                make_handler(clf, batcher))
+    if block:
+        print(f"serving {clf.config.name} on http://{host}:{port}")
+        try:
+            httpd.serve_forever()
+        finally:
+            batcher.stop()
+    else:
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        return httpd, batcher
+
+
+if __name__ == "__main__":
+    serve(sys.argv[1] if len(sys.argv) > 1 else "artifacts/cnv-w1a1.npz",
+          port=int(sys.argv[2]) if len(sys.argv) > 2 else 8476)

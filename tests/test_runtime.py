@@ -105,6 +105,47 @@ def test_batching_server_correct_and_batches(cnv_engine):
     assert s["p50_ms"] > 0
 
 
+def test_http_server_roundtrip(tmp_path):
+    import io as _io
+    import json
+    import urllib.request
+    from bnn_pynq_tpu.compiler import save_artifact
+    from bnn_pynq_tpu.runtime.http_server import serve
+
+    cfg = mini_cnv(1, 1)
+    _, params, stats = init_perturbed(cfg, seed=21)
+    compiled = compile_network(cfg, params, stats)
+    path = str(tmp_path / "mini.npz")
+    save_artifact(path, compiled)
+
+    httpd, batcher = serve(path, port=0, runtime="ref", block=False)
+    port = httpd.server_address[1]
+    try:
+        r = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=10)
+        assert r.read() == b"ok"
+
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 256, size=(3, 10, 10, 3)).astype(np.uint8)
+        buf = _io.BytesIO()
+        np.savez(buf, x=imgs)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/classify", data=buf.getvalue(),
+            method="POST")
+        resp = json.loads(urllib.request.urlopen(req, timeout=30).read())
+        engine = InferenceEngine(compiled, runtime="ref")
+        expected = engine.classify(imgs).tolist()
+        assert resp["classes"] == expected
+        assert len(resp["names"]) == 3
+
+        stats_resp = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=10).read())
+        assert stats_resp["requests"] >= 3
+    finally:
+        httpd.shutdown()
+        batcher.stop()
+
+
 def test_batching_server_concurrent_clients(cnv_engine):
     rng = np.random.default_rng(4)
     imgs = rng.integers(0, 256, size=(24, 10, 10, 3)).astype(np.uint8)
