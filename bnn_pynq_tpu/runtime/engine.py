@@ -100,6 +100,29 @@ class InferenceEngine:
 
         self._fn = _fn
 
+    def load_parameters(self, compiled: CompiledNetwork):
+        """Hot-swap parameters without rebuilding the jitted program — the
+        analogue of the reference's `load_parameters`/doInit weight-memory
+        writes (SURVEY.md §3.2). The new CompiledNetwork must share the
+        engine's topology (same config layers/shapes)."""
+        if compiled.config.layers != self.config.layers or \
+                compiled.config.wbits != self.config.wbits or \
+                compiled.config.abits != self.config.abits:
+            raise ValueError("parameter topology mismatch; build a new "
+                             "engine for a different network")
+        new_params = [{k: jnp.asarray(v) for k, v in layer.items()}
+                      for layer in compiled.layers]
+        if self.route in ("xla", "fused") and self.runtime != "ref":
+            new_params = decode_params(self.config, new_params)
+        if self.route == "fused":
+            raise ValueError("route='fused' closes over weights; rebuild "
+                             "the engine to swap fused-MLP parameters")
+        self.params = new_params
+        self.out_scale = jnp.asarray(compiled.out_scale)
+        self.out_bias = jnp.asarray(compiled.out_bias)
+        self.compiled = compiled
+        return self
+
     # -- input preparation ------------------------------------------------
     def prepare(self, x: np.ndarray) -> np.ndarray:
         """uint8 images → engine input (binarize or center to int8); the

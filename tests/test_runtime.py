@@ -105,6 +105,23 @@ def test_batching_server_correct_and_batches(cnv_engine):
     assert s["p50_ms"] > 0
 
 
+def test_load_parameters_hot_swap():
+    cfg = mini_cnv(1, 1)
+    _, p1, s1 = init_perturbed(cfg, seed=40)
+    _, p2, s2 = init_perturbed(cfg, seed=41)
+    c1 = compile_network(cfg, p1, s1)
+    c2 = compile_network(cfg, p2, s2)
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 256, size=(4, 10, 10, 3)).astype(np.uint8)
+    e = InferenceEngine(c1, runtime="ref")
+    out1 = e.logits(imgs)
+    e.load_parameters(c2)
+    out2 = e.logits(imgs)
+    expected2 = InferenceEngine(c2, runtime="ref").logits(imgs)
+    np.testing.assert_array_equal(out2, expected2)
+    assert not np.array_equal(out1, out2)
+
+
 def test_http_server_roundtrip(tmp_path):
     import io as _io
     import json
