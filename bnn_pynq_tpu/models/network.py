@@ -279,6 +279,48 @@ def forward_xla(config: NetworkConfig, decoded, x):
     return act
 
 
+def forward_direct(config: NetworkConfig, decoded, x, *, interpret=None):
+    """Like forward_xla, but every packed conv layer runs the direct
+    (no-im2col) Pallas kernel ops/conv_direct.py; dense layers and the
+    int8 first conv stay on the XLA int8 path."""
+    from bnn_pynq_tpu.ops.conv_direct import conv2d_direct
+    plan = make_plan(config)
+    if config.input_kind == "bipolar":
+        x = jnp.asarray(x)
+        act = _input_codes(config, x.reshape(x.shape[0], -1))
+    else:
+        act = jnp.asarray(x, dtype=jnp.int8)
+
+    for lp, p in zip(plan, decoded):
+        thr = None if lp.last else p.get("thr")
+        if lp.kind == "pool":
+            act = maxpool2d(act, lp.window)
+            continue
+        if lp.kind == "conv_int8":
+            patches = sliding_window(act, lp.kernel, lp.kernel, lp.stride)
+            b, oh, ow, k = patches.shape
+            w = p["w_hwio"].reshape(lp.k, lp.n) if "w_hwio" in p \
+                else p["w_int8"]
+            acc = ref.int_matmul_ref(patches.reshape(b * oh * ow, k), w)
+            acc = acc.reshape(b, oh, ow, lp.n)
+            act = acc if lp.last else multithreshold(acc, thr)
+        elif lp.kind == "conv":
+            if lp.stride != 1:
+                raise NotImplementedError("direct conv kernel is stride-1")
+            wmat = p["w_hwio"].reshape(lp.k, lp.n)
+            act = conv2d_direct(act, wmat, thr, kernel=lp.kernel,
+                                abits=config.abits, interpret=interpret)
+            if lp.last:
+                act = act.astype(jnp.int32)
+        else:
+            if act.ndim > 2:
+                act = act.reshape(act.shape[0], -1)
+            vals = codes_to_values(act, config.abits)
+            acc = ref.int_matmul_ref(vals, p["w_int8"])
+            act = acc if lp.last else multithreshold(acc, thr)
+    return act
+
+
 def make_forward_fn(config: NetworkConfig, *, impl: str = "pallas",
                     route: str = "mxu", interpret=None):
     """Return a jittable `fn(params, x) -> logits` closure."""

@@ -58,7 +58,8 @@ class InferenceEngine:
         self.out_scale = jnp.asarray(compiled.out_scale)
         self.out_bias = jnp.asarray(compiled.out_bias)
 
-        use_xla_route = route == "xla" and runtime != "ref"
+        use_xla_route = route in ("xla", "direct") and runtime != "ref"
+        use_direct = route == "direct" and runtime != "ref"
         use_fused = route == "fused" and runtime != "ref"
         if use_fused:
             from bnn_pynq_tpu.models.config import DenseSpec
@@ -90,7 +91,11 @@ class InferenceEngine:
         else:
             @partial(jax.jit, static_argnums=())
             def _fn(params, out_scale, out_bias, x):
-                if use_xla_route:
+                if use_direct:
+                    from bnn_pynq_tpu.models.network import forward_direct
+                    acc = forward_direct(self.config, params, x,
+                                         interpret=interpret)
+                elif use_xla_route:
                     acc = forward_xla(self.config, params, x)
                 else:
                     acc = forward(self.config, params, x, impl=impl,

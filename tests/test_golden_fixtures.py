@@ -23,6 +23,7 @@ FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
     ("cnv_w2a2", "ref", "xla"),
     ("cnv_w2a2", "interpret", "mxu"),
     ("cnv_w2a2", "interpret", "xla"),
+    ("cnv_w2a2", "interpret", "direct"),
 ])
 def test_golden(tag, runtime, route):
     engine = InferenceEngine.from_artifact(
