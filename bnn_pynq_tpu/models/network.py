@@ -321,6 +321,81 @@ def forward_direct(config: NetworkConfig, decoded, x, *, interpret=None):
     return act
 
 
+def forward_mega(config: NetworkConfig, decoded, x, out_scale, out_bias,
+                 *, interpret=None):
+    """Maximum-fusion forward: consecutive conv layers run as fused
+    Pallas conv chains (ops/conv_direct.conv_chain_direct), the dense
+    tail runs as the fused whole-MLP kernel, and only the maxpools and
+    flatten glue run as XLA ops between kernels. For CNV this is
+    3 conv-chain kernels + 2 pools + 1 MLP kernel — the closest TPU
+    analogue of the reference's single `DoCompute` dataflow pipeline.
+
+    Returns float32 logits (final scale/bias applied in-kernel)."""
+    from bnn_pynq_tpu.ops.conv_direct import conv_chain_direct
+    from bnn_pynq_tpu.ops.fused_mlp import fused_mlp_forward_padded
+    plan = make_plan(config)
+
+    # group the plan: conv chains split by pools, then the dense tail
+    groups = []
+    cur = []
+    dense_start = None
+    for idx, lp in enumerate(plan):
+        if lp.kind == "dense":
+            dense_start = idx
+            break
+        if lp.kind == "pool":
+            if cur:
+                groups.append(("chain", cur))
+                cur = []
+            groups.append(("pool", [idx]))
+        else:
+            cur.append(idx)
+    if cur:
+        groups.append(("chain", cur))
+    if dense_start is None or any(plan[j].kind != "dense"
+                                  for j in range(dense_start, len(plan))):
+        raise ValueError("forward_mega expects convs/pools then a dense "
+                         "tail")
+
+    if config.input_kind == "bipolar":
+        xx = jnp.asarray(x)
+        act = _input_codes(config, xx.reshape(xx.shape[0], -1))
+        first_levels = False
+    else:
+        act = jnp.asarray(x, dtype=jnp.int8)
+        first_levels = True
+
+    first_chain = True
+    for kind, idxs in groups:
+        if kind == "pool":
+            act = maxpool2d(act, plan[idxs[0]].window)
+            continue
+        weights = []
+        thrs = []
+        for j in idxs:
+            lp = plan[j]
+            if lp.stride != 1:
+                raise NotImplementedError("mega route is stride-1 only")
+            p = decoded[j]
+            wmat = p["w_hwio"].reshape(lp.k, lp.n) if "w_hwio" in p \
+                else p["w_int8"]
+            weights.append(wmat)
+            thrs.append(p["thr"])
+        act = conv_chain_direct(
+            act, weights, thrs, kernel=plan[idxs[0]].kernel,
+            abits=config.abits,
+            input_levels=(first_chain and first_levels),
+            interpret=interpret)
+        first_chain = False
+
+    act = act.reshape(act.shape[0], -1)
+    dense_ws = [decoded[j]["w_int8"] for j in range(dense_start, len(plan))]
+    dense_ts = [decoded[j]["thr"] for j in range(dense_start, len(plan) - 1)]
+    return fused_mlp_forward_padded(act, dense_ws, dense_ts, out_scale,
+                                    out_bias, abits=config.abits,
+                                    interpret=interpret)
+
+
 def make_forward_fn(config: NetworkConfig, *, impl: str = "pallas",
                     route: str = "mxu", interpret=None):
     """Return a jittable `fn(params, x) -> logits` closure."""

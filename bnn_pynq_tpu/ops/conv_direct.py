@@ -130,3 +130,136 @@ def conv2d_direct(x_codes, w_dec, thr=None, *, kernel: int, abits: int,
         interpret=interpret,
     )(*operands)
     return full.reshape(b, h, w, o)[:, :oh, :ow, :]
+
+
+def conv_chain_direct(x, weights, thresholds, *, kernel: int, abits: int,
+                      input_levels: bool = False, block_b: int = 4,
+                      interpret=None):
+    """Run SEVERAL consecutive stride-1 VALID convs in ONE Pallas kernel —
+    the conv half of the FPGA's whole-network dataflow pipeline (C9
+    `DoCompute`): intermediate activations never leave VMEM.
+
+    Works on the pitch trick at a FIXED pitch W: layer j's valid region is
+    [H-j(K-1), W-j(K-1)] inside the same [H, W] grid; every kept output
+    row of layer j reads only valid rows of layer j-1 (the read window
+    shrinks strictly inside the previous valid region), so border garbage
+    never propagates — no masking needed between layers.
+
+    x: [B, H, W, C0] int8 — activation codes, or raw int8 levels if
+       `input_levels` (CNV's 8-bit image input for the first conv).
+    weights: list of int8 level matrices [K²·C_j, C_{j+1}] (ki,kj,c order).
+    thresholds: list of int32 [nthr, C_{j+1}], same length (each layer in
+       the chain quantizes; the chain never ends a network).
+    Returns codes int8 [B, OH, OW, C_last] with OH = H - n(K-1).
+    """
+    interpret = _resolve_interpret(interpret)
+    b, h, w, c0 = x.shape
+    k = kernel
+    n_layers = len(weights)
+    if len(thresholds) != n_layers:
+        raise ValueError("one threshold table per chained layer")
+    chans = [c0] + [wt.shape[1] for wt in weights]
+    for j, wt in enumerate(weights):
+        if wt.shape[0] != k * k * chans[j]:
+            raise ValueError(f"layer {j}: weight rows {wt.shape[0]} != "
+                             f"K²C {k * k * chans[j]}")
+    oh = h - n_layers * (k - 1)
+    ow = w - n_layers * (k - 1)
+    if oh <= 0 or ow <= 0:
+        raise ValueError("chain erases the spatial extent")
+
+    block_b = min(block_b, b)
+    while b % block_b:
+        block_b -= 1
+    m = block_b * h * w
+    maxoff = (k - 1) * w + (k - 1)
+    level_off = 1 if abits == 1 else 3
+
+    x2d = x.reshape(b * h * w, c0)
+    x2d = jnp.pad(x2d, ((0, maxoff), (0, 0)))
+
+    nthr = thresholds[0].shape[0]
+
+    def kern(*refs):
+        x_hbm = refs[0]
+        w_refs = refs[1:1 + n_layers]
+        t_refs = refs[1 + n_layers:1 + 2 * n_layers]
+        out_ref = refs[-1]
+
+        def conv_step(buf_codes, w_ref, thr_ref, cin, as_levels):
+            acc = jnp.zeros((m, w_ref.shape[1]), dtype=jnp.int32)
+            for ki in range(k):
+                for kj in range(k):
+                    off = ki * w + kj
+                    vals = buf_codes[off:off + m, :]
+                    if not as_levels:
+                        v32 = vals.astype(jnp.int32)
+                        vals = (2 * v32 - level_off).astype(jnp.int8)
+                    idx = ki * k + kj
+                    wk = w_ref[idx * cin:(idx + 1) * cin, :]
+                    acc = acc + jax.lax.dot_general(
+                        vals, wk,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+            code = jnp.zeros(acc.shape, dtype=jnp.int8)
+            for t in range(nthr):
+                code = code + (acc >= thr_ref[t, :][None, :]).astype(jnp.int8)
+            return code
+
+        i = pl.program_id(0)
+
+        def body(xbuf, *bufs_and_sem):
+            bufs, sem = bufs_and_sem[:-1], bufs_and_sem[-1]
+            cp = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(i * m, m + maxoff), :], xbuf, sem)
+            cp.start()
+            cp.wait()
+            cur = xbuf
+            for j in range(n_layers):
+                code = conv_step(cur, w_refs[j], t_refs[j], chans[j],
+                                 as_levels=(j == 0 and input_levels))
+                if j < n_layers - 1:
+                    bufs[j][0:m, :] = code
+                    # tail rows of the scratch are never read for kept
+                    # outputs (see docstring) — no zeroing needed
+                    cur = bufs[j]
+                else:
+                    out_ref[:] = code
+
+        scratch = [pltpu.VMEM((m + maxoff, chans[j + 1]), jnp.int8)
+                   for j in range(n_layers - 1)]
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((m + maxoff, c0), jnp.int8),
+            *scratch,
+            pltpu.SemaphoreType.DMA,
+        )
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    for wt in weights:
+        in_specs.append(pl.BlockSpec(wt.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    for tt in thresholds:
+        in_specs.append(pl.BlockSpec(tt.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    o_last = chans[-1]
+    macs = sum(h * w * k * k * chans[j] * chans[j + 1]
+               for j in range(n_layers))
+    cost = pl.CostEstimate(flops=2 * b * macs,
+                           bytes_accessed=x2d.size
+                           + sum(wt.size for wt in weights)
+                           + b * h * w * o_last,
+                           transcendentals=0)
+
+    full = pl.pallas_call(
+        kern,
+        grid=(b // block_b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((m, o_last), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h * w, o_last), jnp.int8),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(x2d, *weights, *thresholds)
+    return full.reshape(b, h, w, o_last)[:, :oh, :ow, :]

@@ -58,8 +58,10 @@ class InferenceEngine:
         self.out_scale = jnp.asarray(compiled.out_scale)
         self.out_bias = jnp.asarray(compiled.out_bias)
 
-        use_xla_route = route in ("xla", "direct") and runtime != "ref"
+        use_xla_route = route in ("xla", "direct", "mega") and \
+            runtime != "ref"
         use_direct = route == "direct" and runtime != "ref"
+        use_mega = route == "mega" and runtime != "ref"
         use_fused = route == "fused" and runtime != "ref"
         if use_fused:
             from bnn_pynq_tpu.models.config import DenseSpec
@@ -91,6 +93,10 @@ class InferenceEngine:
         else:
             @partial(jax.jit, static_argnums=())
             def _fn(params, out_scale, out_bias, x):
+                if use_mega:
+                    from bnn_pynq_tpu.models.network import forward_mega
+                    return forward_mega(self.config, params, x, out_scale,
+                                        out_bias, interpret=interpret)
                 if use_direct:
                     from bnn_pynq_tpu.models.network import forward_direct
                     acc = forward_direct(self.config, params, x,

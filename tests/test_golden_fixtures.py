@@ -24,6 +24,8 @@ FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
     ("cnv_w2a2", "interpret", "mxu"),
     ("cnv_w2a2", "interpret", "xla"),
     ("cnv_w2a2", "interpret", "direct"),
+    ("cnv_w2a2", "interpret", "mega"),
+    ("mlp_w1a1", "interpret", "mega"),
 ])
 def test_golden(tag, runtime, route):
     engine = InferenceEngine.from_artifact(
