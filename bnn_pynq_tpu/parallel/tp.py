@@ -119,6 +119,52 @@ def make_tp_forward(config: NetworkConfig, mesh: Mesh, *, route: str = "mxu",
     return jax.jit(fn)
 
 
+def make_gspmd_engine(compiled: CompiledNetwork, mesh: Mesh):
+    """GSPMD tensor+data-parallel inference for the decoded-integer
+    route: forward_xla is pure XLA ops, so instead of shard_map we just
+    annotate shardings (decoded weights/thresholds on output channels
+    over 'model' when divisible, batch over 'data') and let XLA insert
+    the ICI collectives. Complements TPInferenceEngine (which exists
+    because GSPMD cannot partition pallas_call kernels)."""
+    import numpy as np
+    from bnn_pynq_tpu.models.network import (decode_params, forward_xla,
+                                             make_plan)
+    config = compiled.config
+    model_size = mesh.shape["model"]
+    plan = make_plan(config)
+    raw = [{k: jnp.asarray(v) for k, v in layer.items()}
+           for layer in compiled.layers]
+    decoded = decode_params(config, raw)
+
+    sharded = []
+    for lp, p in zip(plan, decoded):
+        q = {}
+        for name, arr in p.items():
+            if lp.last or arr.shape[-1] % model_size != 0:
+                spec = P()
+            else:
+                spec = P(*([None] * (arr.ndim - 1) + ["model"]))
+            q[name] = jax.device_put(arr, NamedSharding(mesh, spec))
+        sharded.append(q)
+    out_scale = jax.device_put(jnp.asarray(compiled.out_scale),
+                               NamedSharding(mesh, P()))
+    out_bias = jax.device_put(jnp.asarray(compiled.out_bias),
+                              NamedSharding(mesh, P()))
+
+    @jax.jit
+    def fn(params, scale, bias, x):
+        acc = forward_xla(config, params, x)
+        return acc.astype(jnp.float32) * scale[None, :] + bias[None, :]
+
+    data_sh = NamedSharding(mesh, P("data"))
+
+    def logits(x_prepared):
+        x = jax.device_put(jnp.asarray(x_prepared), data_sh)
+        return np.asarray(fn(sharded, out_scale, out_bias, x))
+
+    return logits
+
+
 class TPInferenceEngine:
     """Multi-chip tensor-parallel engine (same API surface as
     runtime.InferenceEngine.logits/classify for prepared inputs)."""

@@ -23,6 +23,24 @@ from bnn_pynq_tpu.train import data as data_mod
 from bnn_pynq_tpu.train.model import QuantNet
 
 
+# Reference training recipes (SURVEY.md C13 «bnn/src/training/{mnist,
+# cifar10,svhn,gtsrb}.py», BinaryNet conventions; epoch counts/LRs are the
+# published BNN-paper schedules — confidence [M], tune when real data is
+# wired in). Keys match NetworkConfig.dataset.
+TRAINING_PRESETS = {
+    "mnist": dict(epochs=1000, batch_size=100, lr_start=3e-3, lr_end=3e-7),
+    "cifar10": dict(epochs=500, batch_size=50, lr_start=1e-3, lr_end=1e-6),
+    "svhn": dict(epochs=200, batch_size=50, lr_start=1e-3, lr_end=1e-6),
+    "gtsrb": dict(epochs=200, batch_size=50, lr_start=1e-3, lr_end=1e-6),
+}
+
+
+def preset_for(config: NetworkConfig) -> dict:
+    return dict(TRAINING_PRESETS.get(config.dataset,
+                                     dict(epochs=100, batch_size=100,
+                                          lr_start=1e-3, lr_end=1e-6)))
+
+
 @dataclass
 class TrainResult:
     params: Any

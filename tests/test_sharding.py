@@ -54,6 +54,21 @@ def test_tp_pure_model_axis():
                                single.logits(x_uint8), rtol=1e-5, atol=1e-5)
 
 
+def test_gspmd_engine_matches_single_device():
+    from bnn_pynq_tpu.parallel.tp import make_gspmd_engine
+    cfg = mini_cnv(1, 1)
+    model, params, stats = init_perturbed(cfg, seed=13)
+    compiled = compile_network(cfg, params, stats)
+    rng = np.random.default_rng(1)
+    x_uint8 = rng.integers(0, 256, size=(16,) + cfg.input_shape).astype(np.uint8)
+    single = InferenceEngine(compiled, runtime="ref")
+    expected = single.logits(x_uint8)
+    mesh = make_mesh(data=2, model=4)
+    logits_fn = make_gspmd_engine(compiled, mesh)
+    got = logits_fn(single.prepare(x_uint8))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+
 def test_sharded_train_step_runs_and_matches_unsharded():
     cfg = mini_cnv(1, 1)
     mesh = make_mesh(data=2, model=4)
