@@ -49,23 +49,39 @@ DATASET_CLASSES = {
 }
 
 
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+
+def params_dirs() -> List[str]:
+    """Artifact search path: $BNN_PARAMS_DIR, ./artifacts (user-trained),
+    ./pretrained (shipped, the reference's «bnn/params/» analogue)."""
+    dirs = []
+    if os.environ.get("BNN_PARAMS_DIR"):
+        dirs.append(os.environ["BNN_PARAMS_DIR"])
+    dirs.append(os.path.join(_repo_root(), "artifacts"))
+    dirs.append(os.path.join(_repo_root(), "pretrained"))
+    return dirs
+
+
 def default_params_dir() -> str:
-    return os.environ.get(
-        "BNN_PARAMS_DIR",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), "artifacts"))
+    return params_dirs()[0]
 
 
 def available_params(network: Optional[str] = None) -> List[str]:
-    """List artifact files, optionally filtered by network name
-    (the reference's `bnn.available_params`)."""
-    d = default_params_dir()
-    if not os.path.isdir(d):
-        return []
-    names = [f for f in sorted(os.listdir(d)) if f.endswith(".npz")]
+    """List artifact files across the search path, optionally filtered by
+    network name (the reference's `bnn.available_params`)."""
+    seen = []
+    for d in params_dirs():
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".npz") and f not in seen:
+                seen.append(f)
     if network:
-        names = [f for f in names if f.startswith(network.lower())]
-    return names
+        seen = [f for f in seen if f.startswith(network.lower())]
+    return sorted(seen)
 
 
 class Classifier:
@@ -85,9 +101,13 @@ class Classifier:
     def from_artifact(cls, name_or_path: str, **engine_kw) -> "Classifier":
         path = name_or_path
         if not os.path.exists(path):
-            path = os.path.join(default_params_dir(), name_or_path)
-            if not path.endswith(".npz"):
-                path += ".npz"
+            fname = name_or_path if name_or_path.endswith(".npz") \
+                else name_or_path + ".npz"
+            for d in params_dirs():
+                cand = os.path.join(d, fname)
+                if os.path.exists(cand):
+                    path = cand
+                    break
         return cls(InferenceEngine.from_artifact(path, **engine_kw))
 
     # -- preprocessing ----------------------------------------------------
