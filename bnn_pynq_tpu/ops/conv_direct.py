@@ -70,21 +70,23 @@ def conv2d_direct(x_codes, w_dec, thr=None, *, kernel: int, abits: int,
             x_hbm, w_ref, out_ref = refs
         i = pl.program_id(0)
 
-        def body(xbuf, sem):
+        def body(xbuf, levbuf, sem):
             cp = pltpu.make_async_copy(
                 x_hbm.at[pl.ds(i * m, m + maxoff), :], xbuf, sem)
             cp.start()
             cp.wait()
+            # decode codes → levels ONCE; the K² shifts then slice the
+            # decoded buffer (9× less VPU decode work than per-shift)
+            levbuf[:] = (2 * xbuf[:].astype(jnp.int32)
+                         - level_off).astype(jnp.int8)
             acc = jnp.zeros((m, o), dtype=jnp.int32)
             for ki in range(k):
                 for kj in range(k):
                     off = ki * w + kj
-                    codes = xbuf[off:off + m, :].astype(jnp.int32)
-                    lev = (2 * codes - level_off).astype(jnp.int8)
                     idx = ki * k + kj
                     wk = w_ref[idx * c:(idx + 1) * c, :]
                     acc = acc + jax.lax.dot_general(
-                        lev, wk,
+                        levbuf[off:off + m, :], wk,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32)
             if out_codes:
@@ -99,6 +101,7 @@ def conv2d_direct(x_codes, w_dec, thr=None, *, kernel: int, abits: int,
         pl.run_scoped(
             body,
             xbuf=pltpu.VMEM((m + maxoff, c), jnp.int8),
+            levbuf=pltpu.VMEM((m + maxoff, c), jnp.int8),
             sem=pltpu.SemaphoreType.DMA,
         )
 
@@ -186,25 +189,20 @@ def conv_chain_direct(x, weights, thresholds, *, kernel: int, abits: int,
         t_refs = refs[1 + n_layers:1 + 2 * n_layers]
         out_ref = refs[-1]
 
-        def conv_step(buf_codes, w_ref, thr_ref, cin, as_levels):
+        def conv_step(lev_buf, w_ref, cin):
+            # lev_buf holds int8 LEVELS — decode happens once per layer
+            # (into scratch), not once per shift
             acc = jnp.zeros((m, w_ref.shape[1]), dtype=jnp.int32)
             for ki in range(k):
                 for kj in range(k):
                     off = ki * w + kj
-                    vals = buf_codes[off:off + m, :]
-                    if not as_levels:
-                        v32 = vals.astype(jnp.int32)
-                        vals = (2 * v32 - level_off).astype(jnp.int8)
                     idx = ki * k + kj
                     wk = w_ref[idx * cin:(idx + 1) * cin, :]
                     acc = acc + jax.lax.dot_general(
-                        vals, wk,
+                        lev_buf[off:off + m, :], wk,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32)
-            code = jnp.zeros(acc.shape, dtype=jnp.int8)
-            for t in range(nthr):
-                code = code + (acc >= thr_ref[t, :][None, :]).astype(jnp.int8)
-            return code
+            return acc
 
         i = pl.program_id(0)
 
@@ -214,20 +212,35 @@ def conv_chain_direct(x, weights, thresholds, *, kernel: int, abits: int,
                 x_hbm.at[pl.ds(i * m, m + maxoff), :], xbuf, sem)
             cp.start()
             cp.wait()
-            cur = xbuf
+            if input_levels:
+                cur = xbuf
+            else:
+                bufs[0][:] = (2 * xbuf[:].astype(jnp.int32)
+                              - level_off).astype(jnp.int8)
+                cur = bufs[0]
             for j in range(n_layers):
-                code = conv_step(cur, w_refs[j], t_refs[j], chans[j],
-                                 as_levels=(j == 0 and input_levels))
+                acc = conv_step(cur, w_refs[j], chans[j])
+                thr_ref = t_refs[j]
+                code = jnp.zeros(acc.shape, dtype=jnp.int32)
+                for t in range(nthr):
+                    code = code + (acc >= thr_ref[t, :][None, :]).astype(
+                        jnp.int32)
                 if j < n_layers - 1:
-                    bufs[j][0:m, :] = code
-                    # tail rows of the scratch are never read for kept
-                    # outputs (see docstring) — no zeroing needed
-                    cur = bufs[j]
+                    # store LEVELS so the next layer needs no decode; the
+                    # scratch tail rows are never read for kept outputs
+                    # (see docstring) — no zeroing needed
+                    bufs[j + 1][0:m, :] = (2 * code - level_off).astype(
+                        jnp.int8)
+                    cur = bufs[j + 1]
                 else:
-                    out_ref[:] = code
+                    out_ref[:] = code.astype(jnp.int8)
 
-        scratch = [pltpu.VMEM((m + maxoff, chans[j + 1]), jnp.int8)
-                   for j in range(n_layers - 1)]
+        # scratch[0]: decoded input levels; scratch[j+1]: layer j's output
+        # levels (scratch[0] is unused when input_levels but keeps the
+        # buffer list uniform)
+        scratch = [pltpu.VMEM((m + maxoff, chans[0]), jnp.int8)]
+        scratch += [pltpu.VMEM((m + maxoff, chans[j + 1]), jnp.int8)
+                    for j in range(n_layers - 1)]
         pl.run_scoped(
             body,
             pltpu.VMEM((m + maxoff, c0), jnp.int8),
