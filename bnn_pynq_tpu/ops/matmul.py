@@ -19,7 +19,10 @@ offers two compute routes:
   the contraction axis, so the result is exact — and the decode is 32/bits
   static shift+mask ops per tile instead of an expensive lane-repeat.
   On v5e the MXU route is ~10× the VPU route's ceiling (394 TOPS int8 vs
-  ~3 int32 VPU ops per packed word), so it is the default.
+  ~3 int32 VPU ops per packed word), so it is the default. 'mxu' uses the
+  transposed-activation layout ([Kw, M], M on lanes) so decode runs on
+  full 128-lane tiles; 'mxu_rm' keeps the row-major layout for
+  comparison benchmarking.
 
 The MultiThreshold activation (SURVEY.md C4) is fused into the epilogue:
 ``code = sum_t(acc_true >= thr[t])`` emitted as int8 codes, so no float and

@@ -56,11 +56,13 @@ def test_gtsrb_names_complete():
 
 
 def test_available_params(tmp_path, monkeypatch):
+    # search path covers $BNN_PARAMS_DIR plus the shipped pretrained/ dir
     monkeypatch.setenv("BNN_PARAMS_DIR", str(tmp_path))
-    (tmp_path / "cnv-w1a1.npz").write_bytes(b"x")
-    (tmp_path / "lfc-w1a1.npz").write_bytes(b"x")
-    assert available_params() == ["cnv-w1a1.npz", "lfc-w1a1.npz"]
-    assert available_params("cnv") == ["cnv-w1a1.npz"]
+    (tmp_path / "zz-custom.npz").write_bytes(b"x")
+    names = available_params()
+    assert "zz-custom.npz" in names
+    assert "cnv-w1a1.npz" in names          # shipped pretrained artifact
+    assert available_params("zz") == ["zz-custom.npz"]
 
 
 def test_packed_input_path_matches_standard():

@@ -54,6 +54,24 @@ def test_tp_pure_model_axis():
                                single.logits(x_uint8), rtol=1e-5, atol=1e-5)
 
 
+def test_scaling_harness_runs():
+    from bnn_pynq_tpu.compiler.finnthesizer import CompiledNetwork
+    from bnn_pynq_tpu.models import get_config
+    from bnn_pynq_tpu.models.network import init_random_params
+    from bnn_pynq_tpu.parallel.benchmark import measure_tp_scaling
+    cfg = get_config("sfc-w1a1")
+    layers = init_random_params(cfg, seed=0)
+    compiled = CompiledNetwork(
+        config=cfg,
+        layers=[{k: np.asarray(v) for k, v in l.items()} for l in layers],
+        out_scale=np.ones(10, np.float32), out_bias=np.zeros(10, np.float32))
+    rows = measure_tp_scaling(compiled, device_counts=[1, 2],
+                              batch_per_device=8, iters=1)
+    assert [r["devices"] for r in rows] == [1, 2]
+    assert all(r["images_per_sec"] > 0 for r in rows)
+    assert rows[0]["scaling_efficiency"] == 1.0
+
+
 def test_gspmd_engine_matches_single_device():
     from bnn_pynq_tpu.parallel.tp import make_gspmd_engine
     cfg = mini_cnv(1, 1)
