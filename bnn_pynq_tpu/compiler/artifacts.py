@@ -10,10 +10,8 @@ convention, SURVEY.md §1 S1→L2 contract).
 
 from __future__ import annotations
 
-import io
 import json
 import os
-from typing import Union
 
 import numpy as np
 

@@ -33,8 +33,7 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
-from bnn_pynq_tpu.models.config import (ConvSpec, DenseSpec, NetworkConfig,
-                                        PoolSpec)
+from bnn_pynq_tpu.models.config import NetworkConfig, PoolSpec
 from bnn_pynq_tpu.ops import packing
 from bnn_pynq_tpu.ops.thresholds import THR_ALWAYS, THR_NEVER
 from bnn_pynq_tpu.train.model import BN_EPS

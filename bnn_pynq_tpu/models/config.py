@@ -17,7 +17,7 @@ Topologies (SURVEY.md C9 «bnn/src/network/…/hw/top.cpp», FINN paper):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Tuple, Union
 
 

@@ -20,7 +20,7 @@ directly (SURVEY.md C10 `binarizeAndPack`).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,8 +29,7 @@ import numpy as np
 from bnn_pynq_tpu.models.config import (ConvSpec, DenseSpec, NetworkConfig,
                                         PoolSpec)
 from bnn_pynq_tpu.ops import packing, ref
-from bnn_pynq_tpu.ops.conv import (conv2d_packed, conv_weight_matrix,
-                                   maxpool2d, sliding_window)
+from bnn_pynq_tpu.ops.conv import conv2d_packed, maxpool2d, sliding_window
 from bnn_pynq_tpu.ops.matmul import packed_matmul_padded
 from bnn_pynq_tpu.ops.thresholds import codes_to_values, multithreshold
 

@@ -19,9 +19,6 @@ path handles it today).
 
 from __future__ import annotations
 
-import functools
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -21,8 +21,6 @@ Built with shard_map so the Pallas kernels see explicit local shapes
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -30,7 +28,7 @@ from jax.experimental.shard_map import shard_map
 
 from bnn_pynq_tpu.compiler.finnthesizer import CompiledNetwork
 from bnn_pynq_tpu.models.config import NetworkConfig
-from bnn_pynq_tpu.models.network import LayerPlan, make_plan, _input_codes, \
+from bnn_pynq_tpu.models.network import make_plan, _input_codes, \
     _pack_along_last
 from bnn_pynq_tpu.ops import ref
 from bnn_pynq_tpu.ops.conv import conv2d_packed, maxpool2d, sliding_window

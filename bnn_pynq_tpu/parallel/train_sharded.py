@@ -9,8 +9,6 @@ collectives over ICI (SURVEY.md §5.8).
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import numpy as np
 import optax
@@ -19,7 +17,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bnn_pynq_tpu.models.config import NetworkConfig
 from bnn_pynq_tpu.train.model import QuantNet
-from bnn_pynq_tpu.train.trainer import make_train_step, squared_hinge_loss
+from bnn_pynq_tpu.train.trainer import make_train_step
 
 
 def _param_spec(path, leaf, model_size: int) -> P:

@@ -15,7 +15,7 @@ converted if PIL is importable (not required).
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional, Sequence
 
 import numpy as np
 

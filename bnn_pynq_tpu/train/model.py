@@ -21,8 +21,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from bnn_pynq_tpu.models.config import (ConvSpec, DenseSpec, NetworkConfig,
-                                        PoolSpec)
+from bnn_pynq_tpu.models.config import ConvSpec, NetworkConfig, PoolSpec
 from bnn_pynq_tpu.train.quant import quantize_activations, quantize_weights
 
 # Lasagne BatchNormLayer defaults (reference training stack): eps=1e-4,
