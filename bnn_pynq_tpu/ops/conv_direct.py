@@ -24,12 +24,31 @@ layers.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from bnn_pynq_tpu.ops.matmul import _resolve_interpret
+
+_SUBLANE = 32    # int8 sublane tile: DMA slices/offsets and block rows
+                 # must be 32-aligned on dim 0 (Mosaic requirement)
+
+
+def _round_up(x: int, mto: int) -> int:
+    return -(-x // mto) * mto
+
+
+def _pick_block_b(b: int, hw: int, target_rows: int = 8192):
+    """Choose (block_b, b_padded): block rows m = block_b*hw must be
+    _SUBLANE-aligned, block_b must divide the (possibly padded) batch, and
+    m should sit near target_rows for good MXU utilization."""
+    d0 = _SUBLANE // math.gcd(hw, _SUBLANE)
+    block_b = max(d0, d0 * max(1, target_rows // (d0 * hw)))
+    b_pad = _round_up(b, block_b)
+    return block_b, b_pad
 
 
 def conv2d_direct(x_codes, w_dec, thr=None, *, kernel: int, abits: int,
@@ -50,43 +69,47 @@ def conv2d_direct(x_codes, w_dec, thr=None, *, kernel: int, abits: int,
     out_codes = thr is not None
     out_dtype = jnp.int8 if out_codes else jnp.int32
 
-    block_b = min(block_b, b)
-    while b % block_b:
-        block_b -= 1
-    m = block_b * h * w                     # rows per grid step
-    maxoff = (k - 1) * w + (k - 1)
+    block_b, b_pad = _pick_block_b(b, h * w)
+    if b_pad != b:
+        x_codes = jnp.pad(x_codes, ((0, b_pad - b), (0, 0), (0, 0), (0, 0)))
+    b_eff = b_pad
+    m = block_b * h * w                     # rows per grid step (32-aligned)
+    maxoff = _round_up((k - 1) * w + (k - 1), _SUBLANE)
 
-    x2d = x_codes.reshape(b * h * w, c)
+    x2d = x_codes.reshape(b_eff * h * w, c)
     x2d = jnp.pad(x2d, ((0, maxoff), (0, 0)))   # tail overlap for last block
     level_off = 1 if abits == 1 else 3
 
-    def kern(*refs):
-        # x stays in HBM; blocks overlap by `maxoff` rows (the shifted
-        # reads), which Pallas block-unit index maps can't express — so
-        # the kernel DMAs its own overlapping window into VMEM scratch.
-        if out_codes:
-            x_hbm, w_ref, thr_ref, out_ref = refs
-        else:
-            x_hbm, w_ref, out_ref = refs
-        i = pl.program_id(0)
+    # Pre-overlapped windows: manual HBM DMA slices require 128-aligned
+    # lane counts in Mosaic, so instead each grid step's window (block +
+    # maxoff overlap rows, ~1% duplication) is materialized as its own
+    # leading-dim slot and fed through a standard blocked spec.
+    nb = b_eff * h * w // m
+    x_win = jnp.stack([jax.lax.dynamic_slice_in_dim(x2d, i * m,
+                                                    m + maxoff, axis=0)
+                       for i in range(nb)])
 
-        def body(xbuf, levbuf, sem):
-            cp = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(i * m, m + maxoff), :], xbuf, sem)
-            cp.start()
-            cp.wait()
+    def kern(*refs):
+        # Weights arrive as k² separate [C, O] refs (in-kernel sublane
+        # row-slicing of one big matrix does not legalize in Mosaic).
+        x_ref = refs[0]
+        w_krefs = refs[1:1 + k * k]
+        if out_codes:
+            thr_ref = refs[1 + k * k]
+        out_ref = refs[-1]
+
+        def body(levbuf):
             # decode codes → levels ONCE; the K² shifts then slice the
             # decoded buffer (9× less VPU decode work than per-shift)
-            levbuf[:] = (2 * xbuf[:].astype(jnp.int32)
+            levbuf[:] = (2 * x_ref[0].astype(jnp.int32)
                          - level_off).astype(jnp.int8)
             acc = jnp.zeros((m, o), dtype=jnp.int32)
             for ki in range(k):
                 for kj in range(k):
                     off = ki * w + kj
                     idx = ki * k + kj
-                    wk = w_ref[idx * c:(idx + 1) * c, :]
                     acc = acc + jax.lax.dot_general(
-                        levbuf[off:off + m, :], wk,
+                        levbuf[off:off + m, :], w_krefs[idx][:],
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32)
             if out_codes:
@@ -98,19 +121,14 @@ def conv2d_direct(x_codes, w_dec, thr=None, *, kernel: int, abits: int,
             else:
                 out_ref[:] = acc
 
-        pl.run_scoped(
-            body,
-            xbuf=pltpu.VMEM((m + maxoff, c), jnp.int8),
-            levbuf=pltpu.VMEM((m + maxoff, c), jnp.int8),
-            sem=pltpu.SemaphoreType.DMA,
-        )
+        pl.run_scoped(body, pltpu.VMEM((m + maxoff, c), jnp.int8))
 
-    in_specs = [
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec((k * k * c, o), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    operands = [x2d, w_dec]
+    w_blocks = [w_dec[idx * c:(idx + 1) * c, :] for idx in range(k * k)]
+    in_specs = [pl.BlockSpec((1, m + maxoff, c), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [pl.BlockSpec((c, o), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)] * (k * k)
+    operands = [x_win] + w_blocks
     if out_codes:
         in_specs.append(pl.BlockSpec((nthr, o), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
@@ -124,15 +142,15 @@ def conv2d_direct(x_codes, w_dec, thr=None, *, kernel: int, abits: int,
 
     full = pl.pallas_call(
         kern,
-        grid=(b // block_b,),
+        grid=(b_eff // block_b,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((m, o), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h * w, o), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b_eff * h * w, o), out_dtype),
         cost_estimate=cost,
         interpret=interpret,
     )(*operands)
-    return full.reshape(b, h, w, o)[:, :oh, :ow, :]
+    return full.reshape(b_eff, h, w, o)[:b, :oh, :ow, :]
 
 
 def conv_chain_direct(x, weights, thresholds, *, kernel: int, abits: int,
@@ -171,55 +189,57 @@ def conv_chain_direct(x, weights, thresholds, *, kernel: int, abits: int,
     if oh <= 0 or ow <= 0:
         raise ValueError("chain erases the spatial extent")
 
-    block_b = min(block_b, b)
-    while b % block_b:
-        block_b -= 1
+    block_b, b_pad = _pick_block_b(b, h * w)
+    if b_pad != b:
+        x = jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0), (0, 0)))
+    b_eff = b_pad
     m = block_b * h * w
-    maxoff = (k - 1) * w + (k - 1)
+    maxoff = _round_up((k - 1) * w + (k - 1), _SUBLANE)
     level_off = 1 if abits == 1 else 3
 
-    x2d = x.reshape(b * h * w, c0)
+    x2d = x.reshape(b_eff * h * w, c0)
     x2d = jnp.pad(x2d, ((0, maxoff), (0, 0)))
+    nb = b_eff * h * w // m
+    x_win = jnp.stack([jax.lax.dynamic_slice_in_dim(x2d, i * m,
+                                                    m + maxoff, axis=0)
+                       for i in range(nb)])
 
     nthr = thresholds[0].shape[0]
 
     def kern(*refs):
-        x_hbm = refs[0]
-        w_refs = refs[1:1 + n_layers]
-        t_refs = refs[1 + n_layers:1 + 2 * n_layers]
+        # per-layer weights arrive as k² separate [C_j, C_{j+1}] refs
+        x_ref = refs[0]
+        w_krefs = []
+        pos = 1
+        for j in range(n_layers):
+            w_krefs.append(refs[pos:pos + k * k])
+            pos += k * k
+        t_refs = refs[pos:pos + n_layers]
         out_ref = refs[-1]
 
-        def conv_step(lev_buf, w_ref, cin):
+        def conv_step(lev_buf, wk_list):
             # lev_buf holds int8 LEVELS — decode happens once per layer
             # (into scratch), not once per shift
-            acc = jnp.zeros((m, w_ref.shape[1]), dtype=jnp.int32)
+            acc = jnp.zeros((m, wk_list[0].shape[1]), dtype=jnp.int32)
             for ki in range(k):
                 for kj in range(k):
                     off = ki * w + kj
                     idx = ki * k + kj
-                    wk = w_ref[idx * cin:(idx + 1) * cin, :]
                     acc = acc + jax.lax.dot_general(
-                        lev_buf[off:off + m, :], wk,
+                        lev_buf[off:off + m, :], wk_list[idx][:],
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32)
             return acc
 
-        i = pl.program_id(0)
-
-        def body(xbuf, *bufs_and_sem):
-            bufs, sem = bufs_and_sem[:-1], bufs_and_sem[-1]
-            cp = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(i * m, m + maxoff), :], xbuf, sem)
-            cp.start()
-            cp.wait()
+        def body(*bufs):
             if input_levels:
-                cur = xbuf
+                bufs[0][:] = x_ref[0]
             else:
-                bufs[0][:] = (2 * xbuf[:].astype(jnp.int32)
+                bufs[0][:] = (2 * x_ref[0].astype(jnp.int32)
                               - level_off).astype(jnp.int8)
-                cur = bufs[0]
+            cur = bufs[0]
             for j in range(n_layers):
-                acc = conv_step(cur, w_refs[j], chans[j])
+                acc = conv_step(cur, w_krefs[j])
                 thr_ref = t_refs[j]
                 code = jnp.zeros(acc.shape, dtype=jnp.int32)
                 for t in range(nthr):
@@ -235,23 +255,22 @@ def conv_chain_direct(x, weights, thresholds, *, kernel: int, abits: int,
                 else:
                     out_ref[:] = code.astype(jnp.int8)
 
-        # scratch[0]: decoded input levels; scratch[j+1]: layer j's output
-        # levels (scratch[0] is unused when input_levels but keeps the
-        # buffer list uniform)
+        # scratch[0]: input levels; scratch[j+1]: layer j's output levels
         scratch = [pltpu.VMEM((m + maxoff, chans[0]), jnp.int8)]
         scratch += [pltpu.VMEM((m + maxoff, chans[j + 1]), jnp.int8)
                     for j in range(n_layers - 1)]
-        pl.run_scoped(
-            body,
-            pltpu.VMEM((m + maxoff, c0), jnp.int8),
-            *scratch,
-            pltpu.SemaphoreType.DMA,
-        )
+        pl.run_scoped(body, *scratch)
 
-    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
-    for wt in weights:
-        in_specs.append(pl.BlockSpec(wt.shape, lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM))
+    in_specs = [pl.BlockSpec((1, m + maxoff, c0), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    w_blocks = []
+    for j, wt in enumerate(weights):
+        cin = chans[j]
+        for idx in range(k * k):
+            w_blocks.append(wt[idx * cin:(idx + 1) * cin, :])
+            in_specs.append(pl.BlockSpec((cin, wt.shape[1]),
+                                         lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
     for tt in thresholds:
         in_specs.append(pl.BlockSpec(tt.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
@@ -267,12 +286,12 @@ def conv_chain_direct(x, weights, thresholds, *, kernel: int, abits: int,
 
     full = pl.pallas_call(
         kern,
-        grid=(b // block_b,),
+        grid=(b_eff // block_b,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((m, o_last), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h * w, o_last), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((b_eff * h * w, o_last), jnp.int8),
         cost_estimate=cost,
         interpret=interpret,
-    )(x2d, *weights, *thresholds)
-    return full.reshape(b, h, w, o_last)[:, :oh, :ow, :]
+    )(x_win, *w_blocks, *thresholds)
+    return full.reshape(b_eff, h, w, o_last)[:b, :oh, :ow, :]
