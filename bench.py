@@ -21,7 +21,7 @@ BASELINE_IMAGES_PER_SEC = 21_900.0
 INNER_TIMEOUT_S = int(os.environ.get("BENCH_TIMEOUT_S", "1500"))
 
 
-def bench_cnv_w1a1(batch: int = 1024, iters: int = 20, route: str = "xla"):
+def bench_cnv_w1a1(batch: int = 768, iters: int = 400, route: str = "xla"):
     import numpy as np
     import jax
     from bnn_pynq_tpu.models import get_config
@@ -45,10 +45,16 @@ def bench_cnv_w1a1(batch: int = 1024, iters: int = 20, route: str = "xla"):
         0, 256, size=(batch,) + cfg.input_shape).astype(np.uint8))
     xd = jax.device_put(x)
 
-    # warmup (compile)
+    # warmup (compile + a few steady-state launches)
     np.asarray(engine._fn(engine.params, engine.out_scale, engine.out_bias,
                           xd))
+    outs = [engine._fn(engine.params, engine.out_scale, engine.out_bias, xd)
+            for _ in range(20)]
+    np.asarray(outs[-1])
 
+    # Steady-state throughput: the device→host fetch through the tunnel
+    # has a large FIXED cost (~30 ms), so iters must be high enough to
+    # amortize it below the noise floor (400 × ~2 ms ≫ 30 ms).
     t0 = time.perf_counter()
     outs = [engine._fn(engine.params, engine.out_scale, engine.out_bias, xd)
             for _ in range(iters)]
