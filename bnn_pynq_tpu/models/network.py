@@ -239,10 +239,39 @@ def decode_params(config: NetworkConfig, params):
     return out
 
 
-def forward_xla(config: NetworkConfig, decoded, x):
+def _conv_bf16_exact(vals_int8, w_hwio_int8, stride: int):
+    """Exact integer conv via the native XLA/MXU bf16 conv path.
+
+    All operands are small integers (|activations| ≤ 128 first layer /
+    ≤ 3 afterwards, |weights| ≤ 3), each exactly representable in
+    bfloat16; products ≤ 384 and partial sums ≤ 3·3·2304·... < 2^24 stay
+    exact in the MXU's float32 accumulator, so rounding the result to
+    int32 is bit-exact with the integer reference. This avoids im2col's
+    K² patch materialization in HBM entirely — the conv halo exchange
+    happens inside XLA's conv emitter."""
+    acc = jax.lax.conv_general_dilated(
+        vals_int8.astype(jnp.bfloat16),
+        jnp.asarray(w_hwio_int8).astype(jnp.bfloat16),
+        window_strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return acc.astype(jnp.int32)
+
+
+def forward_xla(config: NetworkConfig, decoded, x, *,
+                conv_mode: str = "patches"):
     """Decoded-integer route: XLA int8 convs/matmuls (MXU) with integer
     MultiThreshold epilogues fused by XLA. Bit-exact with the packed
-    Pallas route (same integer math, different storage)."""
+    Pallas route (same integer math, different storage).
+
+    conv_mode: 'patches' — conv as sliding-window + int8 MXU dot. NOTE:
+    int8 lax.conv_general_dilated hangs the TPU compiler on this backend
+    (v5e/axon, jax 0.9), while patches+dot_general compiles fast.
+    'native' — conv via the bf16 MXU conv path (`_conv_bf16_exact`),
+    still integer-exact but without materializing K²-duplicated patches.
+    """
     plan = make_plan(config)
     if config.input_kind == "bipolar":
         x = jnp.asarray(x)
@@ -262,16 +291,19 @@ def forward_xla(config: NetworkConfig, decoded, x):
                 act = act.reshape(act.shape[0], -1)
             vals = codes_to_values(act, config.abits)
         if lp.kind in ("conv", "conv_int8"):
-            # conv as sliding-window + int8 MXU dot. NOTE: int8
-            # lax.conv_general_dilated hangs the TPU compiler on this
-            # backend (v5e/axon, jax 0.9), while patches+dot_general
-            # compiles fast and hits the MXU — keep the matmul form.
-            w = p["w_hwio"].reshape(lp.k, lp.n) if "w_hwio" in p \
-                else p["w_int8"]
-            patches = sliding_window(vals, lp.kernel, lp.kernel, lp.stride)
-            b, oh, ow, k = patches.shape
-            acc = ref.int_matmul_ref(patches.reshape(b * oh * ow, k), w)
-            acc = acc.reshape(b, oh, ow, lp.n)
+            if conv_mode == "native":
+                c = lp.k // (lp.kernel * lp.kernel)
+                w_hwio = p["w_hwio"] if "w_hwio" in p else \
+                    p["w_int8"].reshape(lp.kernel, lp.kernel, c, lp.n)
+                acc = _conv_bf16_exact(vals, w_hwio, lp.stride)
+            else:
+                w = p["w_hwio"].reshape(lp.k, lp.n) if "w_hwio" in p \
+                    else p["w_int8"]
+                patches = sliding_window(vals, lp.kernel, lp.kernel,
+                                         lp.stride)
+                b, oh, ow, k = patches.shape
+                acc = ref.int_matmul_ref(patches.reshape(b * oh * ow, k), w)
+                acc = acc.reshape(b, oh, ow, lp.n)
         else:
             acc = ref.int_matmul_ref(vals, p["w_int8"])
         act = acc if lp.last else multithreshold(acc, thr)

@@ -123,6 +123,22 @@ def test_xla_route_matches_ref_runtime(make_cfg, wbits, abits):
     np.testing.assert_array_equal(e_ref.logits(x_uint8), e_xla.logits(x_uint8))
 
 
+@pytest.mark.parametrize("make_cfg,wbits,abits", [
+    (mini_cnv, 1, 1), (mini_cnv, 1, 2), (mini_cnv, 2, 2),
+])
+def test_xlaconv_route_matches_ref_runtime(make_cfg, wbits, abits):
+    """The native bf16 conv path must be bit-exact with the integer
+    reference (exactness argument: models/network.py _conv_bf16_exact)."""
+    cfg = make_cfg(wbits, abits)
+    model, params, stats = init_perturbed(cfg, seed=7)
+    rng = np.random.default_rng(2)
+    x_uint8, _ = _inputs(cfg, rng, b=8)
+    compiled = compile_network(cfg, params, stats)
+    e_ref = InferenceEngine(compiled, runtime="ref")
+    e_nc = InferenceEngine(compiled, runtime="interpret", route="xlaconv")
+    np.testing.assert_array_equal(e_ref.logits(x_uint8), e_nc.logits(x_uint8))
+
+
 @pytest.mark.parametrize("wbits,abits", [(1, 1), (1, 2)])
 def test_fused_mlp_route_matches_ref(wbits, abits):
     cfg = mini_mlp(wbits, abits)
