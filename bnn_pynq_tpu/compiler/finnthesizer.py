@@ -147,9 +147,10 @@ def compile_network(config: NetworkConfig, params, batch_stats,
         k_len = int(np.prod(w.shape[:-1]))
         max_a = 127 if (config.input_kind == "int8"
                         and f"quant_{i}" == f"quant_{first_compute}") else 3
-        assert k_len * 3 * max_a < (1 << 30), (
-            f"layer {i}: accumulator range {k_len * 3 * max_a} risks int32 "
-            "overflow against sentinel thresholds")
+        if k_len * 3 * max_a >= (1 << 30):
+            raise OverflowError(
+                f"layer {i}: accumulator range {k_len * 3 * max_a} risks "
+                "int32 overflow against sentinel thresholds")
         if wl.ndim == 4:
             kh, kw, cin, cout = wl.shape
             wmat = wl.reshape(kh * kw * cin, cout)      # (ki,kj,c) order

@@ -28,8 +28,6 @@ class BackendHandle:
         self.server = server
         self.probe = probe
         self.healthy = True
-        self.inflight = 0
-        self.lock = threading.Lock()
 
     def check(self) -> bool:
         try:

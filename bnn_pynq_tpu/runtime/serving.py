@@ -19,23 +19,30 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import Deque, List, Optional
 
 import numpy as np
+
+# Latency samples kept for percentile estimation. Bounded: a long-lived
+# server must not grow its stats without limit; the newest window is what
+# the p50/p99 metrics mean operationally anyway.
+STATS_WINDOW = 65536
 
 
 @dataclass
 class ServerStats:
     requests: int = 0
     batches: int = 0
-    latencies_ms: List[float] = field(default_factory=list)
+    latencies_ms: Deque[float] = field(
+        default_factory=lambda: deque(maxlen=STATS_WINDOW))
 
     def percentile(self, p: float) -> float:
         if not self.latencies_ms:
             return float("nan")
-        return float(np.percentile(self.latencies_ms, p))
+        return float(np.percentile(np.fromiter(self.latencies_ms, float), p))
 
     def summary(self) -> dict:
         return {

@@ -18,6 +18,7 @@ Preprocessing conventions (must match the inference engine exactly):
 from __future__ import annotations
 
 import os
+import zlib
 from dataclasses import dataclass
 
 import numpy as np
@@ -76,7 +77,9 @@ def _synthetic(name: str, n_train: int, n_test: int) -> Dataset:
     noise, uint8, same shape/range as the real dataset."""
     shape = _SHAPES[name]
     ncls = _CLASSES[name]
-    rng = np.random.default_rng(hash(name) % (2 ** 31))
+    # zlib.crc32 is stable across processes (Python salts str hash per
+    # process, which made "deterministic" synthetic data irreproducible).
+    rng = np.random.default_rng(zlib.crc32(name.encode()) % (2 ** 31))
     templates = rng.integers(0, 256, size=(ncls,) + shape)
 
     def make(n, seed):
