@@ -352,77 +352,143 @@ def forward_direct(config: NetworkConfig, decoded, x, *, interpret=None):
     return act
 
 
+def _weight_matrix(p, lp):
+    return p["w_hwio"].reshape(lp.k, lp.n) if "w_hwio" in p else p["w_int8"]
+
+
+# Below this many spatial positions a conv leaves the pitch-grid chain
+# kernel (whose garbage-row overhead scales as grid/valid — 25× for a
+# 5×5→3×3→1×1 tail) and runs as XLA im2col + the row-domain dense_block
+# kernel instead.
+_MEGA_SMALL_HW = 100
+
+
 def forward_mega(config: NetworkConfig, decoded, x, out_scale, out_bias,
                  *, interpret=None):
-    """Maximum-fusion forward: consecutive conv layers run as fused
-    Pallas conv chains (ops/conv_direct.conv_chain_direct), the dense
-    tail runs as the fused whole-MLP kernel, and only the maxpools and
-    flatten glue run as XLA ops between kernels. For CNV this is
-    3 conv-chain kernels + 2 pools + 1 MLP kernel — the closest TPU
-    analogue of the reference's single `DoCompute` dataflow pipeline.
+    """Maximum-fusion forward — the closest TPU analogue of the
+    reference's single `DoCompute` dataflow pipeline (SURVEY.md C9
+    «bnn/src/network/<net>/hw/top.cpp»). Large-spatial conv runs chain
+    in VMEM (ops/conv_stack.conv_chain_vmem: in-VMEM im2col + one MXU
+    dot per layer); small-spatial convs run as XLA im2col + the
+    row-domain dense_block kernel; kernel-covers-map convs fold into the
+    fused whole-MLP kernel with the dense tail. Only maxpools, valid-
+    region slices, and reshapes run as XLA glue between kernels.
+
+    For CNV: chain(conv1+conv2) → pool → chain(conv3+conv4) → pool →
+    dense_block(conv5 on B·9 rows) → fused_mlp(conv6 + 3 dense) =
+    4 Pallas kernels + glue.
 
     Returns float32 logits (final scale/bias applied in-kernel)."""
-    from bnn_pynq_tpu.ops.conv_direct import conv_chain_direct
+    from bnn_pynq_tpu.ops.conv_stack import conv_chain_vmem, dense_block
     from bnn_pynq_tpu.ops.fused_mlp import fused_mlp_forward_padded
     plan = make_plan(config)
-
-    # group the plan: conv chains split by pools, then the dense tail
-    groups = []
-    cur = []
-    dense_start = None
-    for idx, lp in enumerate(plan):
-        if lp.kind == "dense":
-            dense_start = idx
-            break
-        if lp.kind == "pool":
-            if cur:
-                groups.append(("chain", cur))
-                cur = []
-            groups.append(("pool", [idx]))
-        else:
-            cur.append(idx)
-    if cur:
-        groups.append(("chain", cur))
-    if dense_start is None or any(plan[j].kind != "dense"
-                                  for j in range(dense_start, len(plan))):
-        raise ValueError("forward_mega expects convs/pools then a dense "
-                         "tail")
 
     if config.input_kind == "bipolar":
         xx = jnp.asarray(x)
         act = _input_codes(config, xx.reshape(xx.shape[0], -1))
-        first_levels = False
+        levels = False
     else:
         act = jnp.asarray(x, dtype=jnp.int8)
-        first_levels = True
+        levels = True
 
-    first_chain = True
-    for kind, idxs in groups:
-        if kind == "pool":
-            act = maxpool2d(act, plan[idxs[0]].window)
+    idx = 0
+    n = len(plan)
+    # -- phase 1: large-spatial conv chains + pools ------------------------
+    while idx < n and plan[idx].kind != "dense":
+        lp = plan[idx]
+        if lp.kind == "pool":
+            act = maxpool2d(act, lp.window)
+            idx += 1
             continue
-        weights = []
-        thrs = []
-        for j in idxs:
-            lp = plan[j]
-            if lp.stride != 1:
-                raise NotImplementedError("mega route is stride-1 only")
-            p = decoded[j]
-            wmat = p["w_hwio"].reshape(lp.k, lp.n) if "w_hwio" in p \
-                else p["w_int8"]
-            weights.append(wmat)
-            thrs.append(p["thr"])
-        act = conv_chain_direct(
-            act, weights, thrs, kernel=plan[idxs[0]].kernel,
-            abits=config.abits,
-            input_levels=(first_chain and first_levels),
-            interpret=interpret)
-        first_chain = False
+        h, w = act.shape[1], act.shape[2]
+        oh = (h - lp.kernel) // lp.stride + 1
+        if oh * oh < _MEGA_SMALL_HW and lp.stride == 1:
+            break  # small-spatial tail (phase 2)
+        # collect a chain: this conv + following stride-1 non-final convs
+        group = [idx]
+        j = idx + 1
+        while (j < n and plan[j].kind == "conv" and plan[j].stride == 1
+               and not plan[j].last
+               and (act.shape[1] - (len(group) + 1) * (lp.kernel - 1)) > 0):
+            group.append(j)
+            j += 1
+        if plan[group[0]].last:
+            raise NotImplementedError(
+                "mega route expects a dense (or small-conv) final stage")
+        k = lp.kernel
+        # the first conv's patches are prebuilt in XLA when the input
+        # channel count can't lane-offset-store (raw 3-channel images),
+        # when it strides, or when prebuilding removes garbage rows
+        # cheaply (conv_int8 image input)
+        prebuild = (lp.kind == "conv_int8" or lp.stride != 1
+                    or act.shape[3] % 32 != 0)
+        weights = [_weight_matrix(decoded[g], plan[g]) for g in group]
+        thrs = [decoded[g]["thr"] for g in group]
+        if prebuild:
+            grid_in = sliding_window(act, k, k, lp.stride)
+            gh, gw = grid_in.shape[1], grid_in.shape[2]
+            n_inkernel = len(group) - 1
+        else:
+            grid_in = act
+            gh, gw = h, w
+            n_inkernel = len(group)
+        out = conv_chain_vmem(grid_in, weights, thrs, kernel=k,
+                              abits=config.abits, input_patches=prebuild,
+                              input_levels=levels, interpret=interpret)
+        shrink = n_inkernel * (k - 1)
+        act = out[:, :gh - shrink, :gw - shrink, :]
+        levels = False
+        idx = j
 
-    act = act.reshape(act.shape[0], -1)
-    dense_ws = [decoded[j]["w_int8"] for j in range(dense_start, len(plan))]
-    dense_ts = [decoded[j]["thr"] for j in range(dense_start, len(plan) - 1)]
-    return fused_mlp_forward_padded(act, dense_ws, dense_ts, out_scale,
+    # -- phase 2: small-spatial convs + dense tail -------------------------
+    mlp_ws, mlp_ts = [], []
+    while idx < n:
+        lp = plan[idx]
+        p = decoded[idx]
+        if lp.kind == "pool":
+            act = maxpool2d(act, lp.window)
+            idx += 1
+            continue
+        if lp.kind in ("conv", "conv_int8"):
+            h = act.shape[1]
+            oh = (h - lp.kernel) // lp.stride + 1
+            if lp.last:
+                raise NotImplementedError(
+                    "mega route expects a dense (or 1×1-output conv) "
+                    "final stage")
+            if oh == 1 and not levels:
+                # kernel covers the map: conv ≡ dense on flattened rows —
+                # fold into the MLP tail (sliding_window order (ki,kj,c)
+                # equals a plain row-major reshape here)
+                act = act.reshape(act.shape[0], -1)
+                mlp_ws.append(_weight_matrix(p, lp))
+                mlp_ts.append(p["thr"])
+                idx += 1
+                # everything after a flatten is dense-domain
+                continue
+            patches = sliding_window(act, lp.kernel, lp.kernel, lp.stride)
+            b_, oh_, ow_, kk = patches.shape
+            rows = dense_block(patches.reshape(b_ * oh_ * ow_, kk),
+                               [_weight_matrix(p, lp)], [p["thr"]],
+                               abits=config.abits, input_levels=levels,
+                               interpret=interpret)
+            act = rows.reshape(b_, oh_, ow_, lp.n)
+            levels = False
+            idx += 1
+            continue
+        # dense
+        if act.ndim > 2:
+            act = act.reshape(act.shape[0], -1)
+        mlp_ws.append(p["w_int8"])
+        if not lp.last:
+            mlp_ts.append(p["thr"])
+        idx += 1
+
+    if act.ndim > 2:
+        act = act.reshape(act.shape[0], -1)
+    if not mlp_ws:
+        raise NotImplementedError("mega route needs a dense final stage")
+    return fused_mlp_forward_padded(act, mlp_ws, mlp_ts, out_scale,
                                     out_bias, abits=config.abits,
                                     interpret=interpret)
 

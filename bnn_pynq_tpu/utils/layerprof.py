@@ -1,7 +1,14 @@
-"""Per-layer timing breakdown — jit each layer of a compiled network
-separately and time it at a given batch size, so perf work can see where
-the milliseconds go (the rebuild's version of Vivado HLS's per-block
-II/latency reports, SURVEY.md §5.1).
+"""Per-layer timing breakdown — the rebuild's version of Vivado HLS's
+per-block II/latency reports (SURVEY.md §5.1).
+
+Method: time cumulative PREFIXES of the network, each jitted with a
+scalar (checksum) output, and difference consecutive prefixes. Timing a
+layer in isolation is impossible through the axon tunnel: fetching a
+layer's multi-MB activation output dominates (hundreds of ms of tunnel
+bandwidth vs single-digit ms of compute — measured r2), while a scalar
+output costs nothing. The prefix method keeps every timed program's
+output at 4 bytes. Differencing adds noise ~±(launch jitter), so layers
+cheaper than ~0.1 ms at batch 1024 read as ~0.
 
     from bnn_pynq_tpu.utils.layerprof import profile_layers
     rows = profile_layers(compiled, batch=1024)
@@ -23,34 +30,15 @@ from bnn_pynq_tpu.ops.thresholds import codes_to_values, multithreshold
 from bnn_pynq_tpu.utils.profiling import steady_state_time
 
 
-def profile_layers(compiled, batch: int = 1024, iters: int = 10) -> List[dict]:
-    """Time each layer of the decoded-integer route individually.
-    Returns [{layer, kind, k, n, ms, macs, tops}]."""
-    config = compiled.config
-    plan = make_plan(config)
-    params = [{k: jnp.asarray(v) for k, v in layer.items()}
-              for layer in compiled.layers]
-    decoded = decode_params(config, params)
-    rng = np.random.default_rng(0)
-
-    # synthesize layer inputs by running the graph once, recording shapes
-    if config.input_kind == "bipolar":
-        x = jnp.asarray(rng.choice(
-            [-1, 1], size=(batch, int(np.prod(config.input_shape))))
-            .astype(np.int8))
-        act = _input_codes(config, x)
-    else:
-        act = jnp.asarray(rng.integers(
-            -128, 128, size=(batch,) + config.input_shape).astype(np.int8))
-
-    h, w, _ = config.input_shape
-    rows = []
-    for li, (lp, p) in enumerate(zip(plan, decoded)):
+def _layer_fns(config, plan, decoded):
+    """One callable per layer (act -> act), decoded-integer route."""
+    fns = []
+    for lp, p in zip(plan, decoded):
         thr = None if lp.last else p.get("thr")
-
         if lp.kind == "pool":
-            fn = jax.jit(lambda a: maxpool2d(a, lp.window))
-            macs = 0
+            def pool_fn(a, lp=lp):
+                return maxpool2d(a, lp.window)
+            fns.append(pool_fn)
         elif lp.kind in ("conv", "conv_int8"):
             wmat = p["w_hwio"].reshape(lp.k, lp.n) if "w_hwio" in p \
                 else p["w_int8"]
@@ -65,11 +53,7 @@ def profile_layers(compiled, batch: int = 1024, iters: int = 10) -> List[dict]:
                     patches.reshape(b * oh * ow, k), wmat)
                 acc = acc.reshape(b, oh, ow, lp.n)
                 return acc if thr is None else multithreshold(acc, thr)
-
-            fn = jax.jit(conv_fn)
-            oh = (act.shape[1] - lp.kernel) // lp.stride + 1
-            ow = (act.shape[2] - lp.kernel) // lp.stride + 1
-            macs = batch * oh * ow * lp.k * lp.n
+            fns.append(conv_fn)
         else:
             w_int8 = p["w_int8"]
 
@@ -79,15 +63,62 @@ def profile_layers(compiled, batch: int = 1024, iters: int = 10) -> List[dict]:
                 acc = ref.int_matmul_ref(codes_to_values(a, config.abits),
                                          w_int8)
                 return acc if thr is None else multithreshold(acc, thr)
+            fns.append(dense_fn)
+    return fns
 
-            fn = jax.jit(dense_fn)
+
+def profile_layers(compiled, batch: int = 1024, iters: int = 30) -> List[dict]:
+    """Per-layer ms via prefix differencing on the decoded-integer route.
+    Returns [{layer, kind, k, n, ms, macs, tops}]; `ms` of layer i =
+    t(prefix_{i+1}) - t(prefix_i), clamped at 0."""
+    config = compiled.config
+    plan = make_plan(config)
+    params = [{k: jnp.asarray(v) for k, v in layer.items()}
+              for layer in compiled.layers]
+    decoded = decode_params(config, params)
+    rng = np.random.default_rng(0)
+
+    if config.input_kind == "bipolar":
+        x = jnp.asarray(rng.choice(
+            [-1, 1], size=(batch, int(np.prod(config.input_shape))))
+            .astype(np.int8))
+        act0 = _input_codes(config, x)
+    else:
+        act0 = jnp.asarray(rng.integers(
+            -128, 128, size=(batch,) + config.input_shape).astype(np.int8))
+
+    fns = _layer_fns(config, plan, decoded)
+
+    def make_prefix(n_layers):
+        def prefix(a):
+            for f in fns[:n_layers]:
+                a = f(a)
+            return jnp.sum(a.astype(jnp.int32))
+        return jax.jit(prefix)
+
+    times = [0.0]
+    for i in range(1, len(fns) + 1):
+        pf = make_prefix(i)
+        times.append(steady_state_time(lambda pf=pf: pf(act0), iters=iters))
+
+    # spatial extents for MAC accounting
+    h, w, _ = config.input_shape
+    rows = []
+    for li, lp in enumerate(plan):
+        if lp.kind == "pool":
+            h //= lp.window
+            w //= lp.window
+            macs = 0
+        elif lp.kind in ("conv", "conv_int8"):
+            h = (h - lp.kernel) // lp.stride + 1
+            w = (w - lp.kernel) // lp.stride + 1
+            macs = batch * h * w * lp.k * lp.n
+        else:
             macs = batch * lp.k * lp.n
-
-        dt = steady_state_time(lambda: fn(act), iters=iters)
+        dt = max(0.0, times[li + 1] - times[li])
         rows.append({
             "layer": li, "kind": lp.kind, "k": lp.k, "n": lp.n,
             "ms": dt * 1e3, "macs": macs,
-            "tops": (2 * macs / dt) / 1e12 if macs else 0.0,
+            "tops": (2 * macs / dt) / 1e12 if macs and dt > 0 else 0.0,
         })
-        act = fn(act)
     return rows
