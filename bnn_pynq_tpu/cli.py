@@ -60,7 +60,8 @@ def cmd_compile(args):
 def cmd_classify(args):
     from bnn_pynq_tpu.runtime.classifier import Classifier
 
-    clf = Classifier.from_artifact(args.artifact, runtime=args.runtime)
+    clf = Classifier.from_artifact(args.artifact, runtime=args.runtime,
+                                   route=args.route)
     imgs = np.load(args.images)
     if imgs.ndim == 3:
         imgs = imgs[None]
@@ -99,13 +100,17 @@ def cmd_bench(args):
 
 
 def cmd_eval(args):
-    """Test-set accuracy of an artifact (the accuracy gate of BASELINE.md
-    when real datasets are present; flags synthetic data loudly)."""
+    """Test-set accuracy of an artifact. With --gate, compares against the
+    reference table (BASELINE.md) and exits 1 on a real-data Δ>0.1%
+    regression; synthetic data marks the gate 'skipped' (it proves the
+    pipeline, not the model)."""
     from bnn_pynq_tpu.runtime.engine import InferenceEngine
     from bnn_pynq_tpu.train import data as data_mod
+    from bnn_pynq_tpu.utils.baseline import gate
 
     engine = InferenceEngine.from_artifact(args.artifact,
-                                           runtime=args.runtime)
+                                           runtime=args.runtime,
+                                           route=args.route)
     cfg = engine.config
     ds = data_mod.load(cfg.dataset)
     correct = total = 0
@@ -114,11 +119,35 @@ def cmd_eval(args):
         xs, ys = ds.x_test[i:i + bs], ds.y_test[i:i + bs]
         correct += int((engine.classify(xs) == ys).sum())
         total += len(ys)
-    print(json.dumps({
+    top1 = correct / total
+    out = {
         "network": cfg.name, "dataset": cfg.dataset,
         "synthetic_data": ds.synthetic,
-        "top1_accuracy": round(correct / total, 5), "n_test": total,
-    }))
+        "top1_accuracy": round(top1, 5), "n_test": total,
+    }
+    failed = False
+    if args.gate:
+        passed, ref, delta = gate(cfg.name, cfg.dataset, top1)
+        if ds.synthetic:
+            out["gate"] = "skipped (synthetic data)"
+        elif passed is None:
+            out["gate"] = "skipped (no baseline for this network/dataset)"
+        else:
+            out["gate"] = "passed" if passed else "FAILED"
+            out["baseline_top1"] = ref
+            out["delta"] = round(delta, 5)
+            failed = not passed
+    print(json.dumps(out))
+    if failed:
+        raise SystemExit(1)
+
+
+def cmd_ingest(args):
+    """Convert raw dataset files (MNIST IDX / CIFAR-10 binary / SVHN .mat /
+    GTSRB ppm) into the cached npz the loaders resolve."""
+    from bnn_pynq_tpu.train.datasets_raw import ingest
+    path = ingest(args.dataset, root=args.root, out_dir=args.out)
+    print(f"wrote {path}")
 
 
 def cmd_serve(args):
@@ -171,6 +200,7 @@ def main(argv=None):
     cl.add_argument("artifact")
     cl.add_argument("images")
     cl.add_argument("--runtime", default="auto")
+    cl.add_argument("--route", default="xla")
     cl.set_defaults(fn=cmd_classify)
 
     b = sub.add_parser("bench", help="throughput benchmark")
@@ -185,7 +215,20 @@ def main(argv=None):
     e.add_argument("artifact")
     e.add_argument("--batch", type=int, default=1024)
     e.add_argument("--runtime", default="auto")
+    e.add_argument("--route", default="xla")
+    e.add_argument("--gate", action="store_true",
+                   help="fail (exit 1) if real-data accuracy drops >0.1% "
+                        "below the reference table")
     e.set_defaults(fn=cmd_eval)
+
+    g = sub.add_parser("ingest", help="convert raw dataset files to the "
+                                      "cached npz format")
+    g.add_argument("dataset", choices=["mnist", "cifar10", "svhn", "gtsrb"])
+    g.add_argument("--root", default=None,
+                   help="directory holding the raw files (default: the "
+                        "data search dirs)")
+    g.add_argument("--out", default=None)
+    g.set_defaults(fn=cmd_ingest)
 
     s = sub.add_parser("serve", help="HTTP classification server")
     s.add_argument("artifact")
