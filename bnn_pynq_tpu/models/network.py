@@ -336,11 +336,10 @@ def forward_direct(config: NetworkConfig, decoded, x, *, interpret=None):
             acc = acc.reshape(b, oh, ow, lp.n)
             act = acc if lp.last else multithreshold(acc, thr)
         elif lp.kind == "conv":
-            if lp.stride != 1:
-                raise NotImplementedError("direct conv kernel is stride-1")
             wmat = p["w_hwio"].reshape(lp.k, lp.n)
             act = conv2d_direct(act, wmat, thr, kernel=lp.kernel,
-                                abits=config.abits, interpret=interpret)
+                                abits=config.abits, stride=lp.stride,
+                                interpret=interpret)
             if lp.last:
                 act = act.astype(jnp.int32)
         else:

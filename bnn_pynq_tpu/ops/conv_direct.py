@@ -52,13 +52,27 @@ def _pick_block_b(b: int, hw: int, target_rows: int = 8192):
 
 
 def conv2d_direct(x_codes, w_dec, thr=None, *, kernel: int, abits: int,
-                  block_b: int = 4, interpret=None):
+                  stride: int = 1, block_b: int = 4, interpret=None):
     """x_codes: int8 activation codes [B, H, W, C] ({0,1} abits=1,
     {0..3} abits=2); w_dec: int8 levels [K²·C, O] in (ki,kj,c) order;
     thr: int32 [nthr, O] or None. Returns [B, OH, OW, O] codes or int32.
 
-    Stride-1 VALID only (all reference CNV convs)."""
+    VALID padding. stride==1 runs the pitch-trick kernel below (no
+    im2col anywhere); stride>1 — which the pitch trick cannot express
+    (compacting strided rows is not Mosaic-legal, tools/mosaic_probes) —
+    runs XLA-prebuilt patches through the single-layer VMEM chain
+    kernel, matching «slidingwindow.h»'s stride templating (SURVEY C2)."""
     interpret = _resolve_interpret(interpret)
+    if stride != 1:
+        if thr is None:
+            raise ValueError("strided conv2d_direct requires thresholds "
+                             "(the accumulator path is stride-1 only)")
+        from bnn_pynq_tpu.ops.conv import sliding_window
+        from bnn_pynq_tpu.ops.conv_stack import conv_chain_vmem
+        patches = sliding_window(x_codes, kernel, kernel, stride)
+        return conv_chain_vmem(patches, [w_dec], [thr], kernel=kernel,
+                               abits=abits, input_patches=True,
+                               input_levels=False, interpret=interpret)
     b, h, w, c = x_codes.shape
     k = kernel
     oh, ow = h - k + 1, w - k + 1

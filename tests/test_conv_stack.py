@@ -114,3 +114,30 @@ def test_dense_block_matches_reference(abits):
                       [jnp.asarray(t) for t in thrs],
                       abits=abits, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("stride", [2, 3])
+def test_conv2d_direct_strided(stride):
+    """VERDICT r1 #8: stride generality matching «slidingwindow.h»."""
+    from bnn_pynq_tpu.ops.conv_direct import conv2d_direct
+    rng = np.random.default_rng(11)
+    b, h, w, c, o, k = 2, 11, 11, 32, 64, 3
+    codes = rng.integers(0, 2, size=(b, h, w, c)).astype(np.int8)
+    wmat = rng.choice([-1, 1], size=(k * k * c, o)).astype(np.int8)
+    thr = np.sort(rng.integers(-50, 50, size=(1, o)), axis=0).astype(np.int32)
+
+    lev = 2 * codes.astype(np.int32) - 1
+    want = _ref_conv_strided(lev, wmat, thr, k, stride)
+    got = conv2d_direct(jnp.asarray(codes), jnp.asarray(wmat),
+                        jnp.asarray(thr), kernel=k, abits=1, stride=stride,
+                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def _ref_conv_strided(act_levels, wmat, thr, k, stride):
+    patches = sliding_window(jnp.asarray(act_levels), k, k, stride)
+    b, oh, ow, kk = patches.shape
+    acc = ref.int_matmul_ref(patches.reshape(b * oh * ow, kk),
+                             jnp.asarray(wmat))
+    acc = np.asarray(acc).reshape(b, oh, ow, wmat.shape[1])
+    return np.asarray(multithreshold(jnp.asarray(acc), jnp.asarray(thr)))
