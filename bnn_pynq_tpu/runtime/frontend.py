@@ -39,6 +39,54 @@ class BackendHandle:
         return self.healthy
 
 
+class HttpBackend:
+    """Adapter: a remote `http_server` endpoint as a Frontend backend.
+
+    `submit(x)` POSTs one raw uint8 image to /classify from a worker
+    thread (preparation happens server-side, matching the reference's
+    on-board preprocessing) and resolves the Future with the class
+    index; `probe()` GETs
+    /healthz (wire this as the BackendHandle probe). This is the DCN
+    transport leg the reference never had (single board) — SURVEY.md
+    §5.3's multi-host path, stdlib-only on the client side.
+    """
+
+    def __init__(self, base_url: str, timeout_s: float = 30.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout_s = timeout_s
+
+    def probe(self):
+        import urllib.request
+        r = urllib.request.urlopen(self.base_url + "/healthz",
+                                   timeout=min(self.timeout_s, 5.0))
+        if r.status != 200:
+            raise RuntimeError(f"unhealthy: HTTP {r.status}")
+
+    def submit(self, x: np.ndarray) -> Future:
+        import io
+        import json
+        import urllib.request
+
+        f: Future = Future()
+        buf = io.BytesIO()
+        np.savez(buf, x=np.asarray(x)[None])
+        req = urllib.request.Request(
+            self.base_url + "/classify", data=buf.getvalue(), method="POST")
+
+        def run():
+            try:
+                resp = json.loads(urllib.request.urlopen(
+                    req, timeout=self.timeout_s).read())
+                if "error" in resp:
+                    raise RuntimeError(resp["error"])
+                f.set_result(int(resp["classes"][0]))
+            except Exception as e:  # noqa: BLE001 — Future carries it
+                f.set_exception(e)
+
+        threading.Thread(target=run, daemon=True).start()
+        return f
+
+
 class Frontend:
     def __init__(self, backends: Sequence[BackendHandle],
                  heartbeat_s: float = 1.0, max_retries: int = 3):

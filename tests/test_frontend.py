@@ -94,3 +94,54 @@ def test_all_backends_down_raises():
             fe.classify(np.zeros(4), 5)
     finally:
         fe.stop()
+
+
+def test_http_failover_mid_stream(tmp_path):
+    """End-to-end §5.3 drill through REAL HTTP: two http_server backends
+    behind a Frontend; one is shut down mid-stream; every request must
+    still complete on the survivor and the dead backend must be marked
+    unhealthy by the heartbeat."""
+    from bnn_pynq_tpu.compiler import compile_network, save_artifact
+    from bnn_pynq_tpu.runtime.engine import InferenceEngine
+    from bnn_pynq_tpu.runtime.frontend import HttpBackend
+    from bnn_pynq_tpu.runtime.http_server import serve
+    from tests.test_finnthesizer import init_perturbed, mini_cnv
+
+    cfg = mini_cnv(1, 1)
+    _, params, stats = init_perturbed(cfg, seed=33)
+    compiled = compile_network(cfg, params, stats)
+    path = str(tmp_path / "mini.npz")
+    save_artifact(path, compiled)
+
+    httpd_a, batcher_a = serve(path, port=0, runtime="ref", block=False)
+    httpd_b, batcher_b = serve(path, port=0, runtime="ref", block=False)
+    backends = []
+    for name, httpd in (("a", httpd_a), ("b", httpd_b)):
+        hb = HttpBackend(f"http://127.0.0.1:{httpd.server_address[1]}")
+        backends.append(BackendHandle(name, hb, probe=hb.probe))
+    fe = Frontend(backends, heartbeat_s=0.1, max_retries=3)
+
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 256, size=(24, 10, 10, 3)).astype(np.uint8)
+    expected = InferenceEngine(compiled, runtime="ref").classify(imgs)
+    try:
+        futures = [fe.submit(imgs[i]) for i in range(8)]
+        got = [f.result(30) for f in futures]
+
+        # kill backend b mid-stream, keep submitting immediately
+        # (server_close releases the listening socket so new connections
+        # fail fast instead of queueing on the dead listener)
+        httpd_b.shutdown()
+        httpd_b.server_close()
+        batcher_b.stop()
+        futures = [fe.submit(imgs[i]) for i in range(8, 24)]
+        got += [f.result(30) for f in futures]
+
+        np.testing.assert_array_equal(np.asarray(got), expected)
+        time.sleep(0.5)  # let the heartbeat observe the corpse
+        assert not fe.backends[1].healthy
+        assert fe.healthy_backends() == ["a"]
+    finally:
+        fe.stop()
+        httpd_a.shutdown()
+        batcher_a.stop()
