@@ -362,6 +362,155 @@ def _weight_matrix(p, lp):
 _MEGA_SMALL_HW = 100
 
 
+def mega_stages(config: NetworkConfig, decoded, out_scale, out_bias,
+                *, interpret=None):
+    """Build the mega route as an explicit list of (name, fn) stages,
+    where folding the fns over the prepared input activation reproduces
+    `forward_mega` exactly. Stage boundaries are the kernel/XLA-glue
+    boundaries, so tools/stage_prof.py can time each production stage
+    standalone. All grouping decisions are made from static shape
+    arithmetic (no tracers needed)."""
+    from bnn_pynq_tpu.ops.conv_stack import conv_chain_vmem, dense_block
+    from bnn_pynq_tpu.ops.fused_mlp import fused_mlp_forward_padded
+    plan = make_plan(config)
+
+    if config.input_kind == "bipolar":
+        h, w, c = 1, 1, int(np.prod(config.input_shape))
+        levels = False
+    else:
+        h, w, c = config.input_shape
+        levels = True
+
+    stages = []
+    idx = 0
+    n = len(plan)
+    # -- phase 1: large-spatial conv chains + pools ------------------------
+    while idx < n and plan[idx].kind != "dense":
+        lp = plan[idx]
+        if lp.kind == "pool":
+            stages.append((f"pool{idx}",
+                           lambda a, win=lp.window: maxpool2d(a, win)))
+            h //= lp.window
+            w //= lp.window
+            idx += 1
+            continue
+        oh = (h - lp.kernel) // lp.stride + 1
+        if oh * oh < _MEGA_SMALL_HW and lp.stride == 1:
+            break  # small-spatial tail (phase 2)
+        # Collect a chain: this conv + following same-kernel stride-1
+        # non-final convs, while the POST-stride grid keeps a non-empty
+        # valid region (each in-kernel conv shrinks it by K-1).
+        ow = (w - lp.kernel) // lp.stride + 1
+        group = [idx]
+        j = idx + 1
+        while (j < n and plan[j].kind == "conv" and plan[j].stride == 1
+               and plan[j].kernel == lp.kernel and not plan[j].last
+               and min(oh, ow) - len(group) * (lp.kernel - 1) > 0):
+            group.append(j)
+            j += 1
+        if plan[group[0]].last:
+            raise NotImplementedError(
+                "mega route expects a dense (or small-conv) final stage")
+        k = lp.kernel
+        # the first conv's patches are prebuilt in XLA when the input
+        # channel count can't lane-offset-store (raw 3-channel images),
+        # when it strides, or when prebuilding removes garbage rows
+        # cheaply (conv_int8 image input)
+        prebuild = (lp.kind == "conv_int8" or lp.stride != 1 or c % 32 != 0)
+        weights = [_weight_matrix(decoded[g], plan[g]) for g in group]
+        thrs = [decoded[g]["thr"] for g in group]
+        if prebuild:
+            stages.append((f"im2col{idx}",
+                           lambda a, k=k, s=lp.stride:
+                           sliding_window(a, k, k, s)))
+            gh, gw = oh, ow
+            n_inkernel = len(group) - 1
+        else:
+            gh, gw = h, w
+            n_inkernel = len(group)
+        shrink = n_inkernel * (k - 1)
+        vh, vw = gh - shrink, gw - shrink
+
+        def chain_fn(a, weights=weights, thrs=thrs, k=k, prebuild=prebuild,
+                     levels=levels, vh=vh, vw=vw):
+            out = conv_chain_vmem(a, weights, thrs, kernel=k,
+                                  abits=config.abits, input_patches=prebuild,
+                                  input_levels=levels, interpret=interpret)
+            return out[:, :vh, :vw, :]
+        stages.append((f"chain{group[0]}-{group[-1]}", chain_fn))
+        h, w, c = vh, vw, plan[group[-1]].n
+        levels = False
+        idx = j
+
+    # -- phase 2: small-spatial convs + dense tail -------------------------
+    mlp_ws, mlp_ts = [], []
+    while idx < n:
+        lp = plan[idx]
+        p = decoded[idx]
+        if lp.kind == "pool":
+            stages.append((f"pool{idx}",
+                           lambda a, win=lp.window: maxpool2d(a, win)))
+            h //= lp.window
+            w //= lp.window
+            idx += 1
+            continue
+        if lp.kind in ("conv", "conv_int8"):
+            oh = (h - lp.kernel) // lp.stride + 1
+            ow = (w - lp.kernel) // lp.stride + 1
+            if lp.last:
+                raise NotImplementedError(
+                    "mega route expects a dense (or 1×1-output conv) "
+                    "final stage")
+            if oh == 1 and ow == 1 and not levels:
+                # kernel covers the map: conv ≡ dense on flattened rows —
+                # fold into the MLP tail (sliding_window order (ki,kj,c)
+                # equals a plain row-major reshape here)
+                mlp_ws.append(_weight_matrix(p, lp))
+                mlp_ts.append(p["thr"])
+                idx += 1
+                # everything after a flatten is dense-domain
+                continue
+
+            def block_fn(a, lp=lp, p=p, levels=levels):
+                patches = sliding_window(a, lp.kernel, lp.kernel, lp.stride)
+                b_, oh_, ow_, kk = patches.shape
+                rows = dense_block(patches.reshape(b_ * oh_ * ow_, kk),
+                                   [_weight_matrix(p, lp)], [p["thr"]],
+                                   abits=config.abits, input_levels=levels,
+                                   interpret=interpret)
+                return rows.reshape(b_, oh_, ow_, lp.n)
+            stages.append((f"block{idx}", block_fn))
+            h, w, c = oh, ow, lp.n
+            levels = False
+            idx += 1
+            continue
+        # dense
+        mlp_ws.append(p["w_int8"])
+        if not lp.last:
+            mlp_ts.append(p["thr"])
+        idx += 1
+
+    if not mlp_ws:
+        raise NotImplementedError("mega route needs a dense final stage")
+
+    def tail_fn(a):
+        if a.ndim > 2:
+            a = a.reshape(a.shape[0], -1)
+        return fused_mlp_forward_padded(a, mlp_ws, mlp_ts, out_scale,
+                                        out_bias, abits=config.abits,
+                                        interpret=interpret)
+    stages.append(("mlp_tail", tail_fn))
+    return stages
+
+
+def prepare_input(config: NetworkConfig, x):
+    """Input prep shared by the mega route: bipolar → codes, int8 → int8."""
+    if config.input_kind == "bipolar":
+        xx = jnp.asarray(x)
+        return _input_codes(config, xx.reshape(xx.shape[0], -1))
+    return jnp.asarray(x, dtype=jnp.int8)
+
+
 def forward_mega(config: NetworkConfig, decoded, x, out_scale, out_bias,
                  *, interpret=None):
     """Maximum-fusion forward — the closest TPU analogue of the
@@ -378,118 +527,11 @@ def forward_mega(config: NetworkConfig, decoded, x, out_scale, out_bias,
     4 Pallas kernels + glue.
 
     Returns float32 logits (final scale/bias applied in-kernel)."""
-    from bnn_pynq_tpu.ops.conv_stack import conv_chain_vmem, dense_block
-    from bnn_pynq_tpu.ops.fused_mlp import fused_mlp_forward_padded
-    plan = make_plan(config)
-
-    if config.input_kind == "bipolar":
-        xx = jnp.asarray(x)
-        act = _input_codes(config, xx.reshape(xx.shape[0], -1))
-        levels = False
-    else:
-        act = jnp.asarray(x, dtype=jnp.int8)
-        levels = True
-
-    idx = 0
-    n = len(plan)
-    # -- phase 1: large-spatial conv chains + pools ------------------------
-    while idx < n and plan[idx].kind != "dense":
-        lp = plan[idx]
-        if lp.kind == "pool":
-            act = maxpool2d(act, lp.window)
-            idx += 1
-            continue
-        h, w = act.shape[1], act.shape[2]
-        oh = (h - lp.kernel) // lp.stride + 1
-        if oh * oh < _MEGA_SMALL_HW and lp.stride == 1:
-            break  # small-spatial tail (phase 2)
-        # collect a chain: this conv + following stride-1 non-final convs
-        group = [idx]
-        j = idx + 1
-        while (j < n and plan[j].kind == "conv" and plan[j].stride == 1
-               and not plan[j].last
-               and (act.shape[1] - (len(group) + 1) * (lp.kernel - 1)) > 0):
-            group.append(j)
-            j += 1
-        if plan[group[0]].last:
-            raise NotImplementedError(
-                "mega route expects a dense (or small-conv) final stage")
-        k = lp.kernel
-        # the first conv's patches are prebuilt in XLA when the input
-        # channel count can't lane-offset-store (raw 3-channel images),
-        # when it strides, or when prebuilding removes garbage rows
-        # cheaply (conv_int8 image input)
-        prebuild = (lp.kind == "conv_int8" or lp.stride != 1
-                    or act.shape[3] % 32 != 0)
-        weights = [_weight_matrix(decoded[g], plan[g]) for g in group]
-        thrs = [decoded[g]["thr"] for g in group]
-        if prebuild:
-            grid_in = sliding_window(act, k, k, lp.stride)
-            gh, gw = grid_in.shape[1], grid_in.shape[2]
-            n_inkernel = len(group) - 1
-        else:
-            grid_in = act
-            gh, gw = h, w
-            n_inkernel = len(group)
-        out = conv_chain_vmem(grid_in, weights, thrs, kernel=k,
-                              abits=config.abits, input_patches=prebuild,
-                              input_levels=levels, interpret=interpret)
-        shrink = n_inkernel * (k - 1)
-        act = out[:, :gh - shrink, :gw - shrink, :]
-        levels = False
-        idx = j
-
-    # -- phase 2: small-spatial convs + dense tail -------------------------
-    mlp_ws, mlp_ts = [], []
-    while idx < n:
-        lp = plan[idx]
-        p = decoded[idx]
-        if lp.kind == "pool":
-            act = maxpool2d(act, lp.window)
-            idx += 1
-            continue
-        if lp.kind in ("conv", "conv_int8"):
-            h = act.shape[1]
-            oh = (h - lp.kernel) // lp.stride + 1
-            if lp.last:
-                raise NotImplementedError(
-                    "mega route expects a dense (or 1×1-output conv) "
-                    "final stage")
-            if oh == 1 and not levels:
-                # kernel covers the map: conv ≡ dense on flattened rows —
-                # fold into the MLP tail (sliding_window order (ki,kj,c)
-                # equals a plain row-major reshape here)
-                act = act.reshape(act.shape[0], -1)
-                mlp_ws.append(_weight_matrix(p, lp))
-                mlp_ts.append(p["thr"])
-                idx += 1
-                # everything after a flatten is dense-domain
-                continue
-            patches = sliding_window(act, lp.kernel, lp.kernel, lp.stride)
-            b_, oh_, ow_, kk = patches.shape
-            rows = dense_block(patches.reshape(b_ * oh_ * ow_, kk),
-                               [_weight_matrix(p, lp)], [p["thr"]],
-                               abits=config.abits, input_levels=levels,
-                               interpret=interpret)
-            act = rows.reshape(b_, oh_, ow_, lp.n)
-            levels = False
-            idx += 1
-            continue
-        # dense
-        if act.ndim > 2:
-            act = act.reshape(act.shape[0], -1)
-        mlp_ws.append(p["w_int8"])
-        if not lp.last:
-            mlp_ts.append(p["thr"])
-        idx += 1
-
-    if act.ndim > 2:
-        act = act.reshape(act.shape[0], -1)
-    if not mlp_ws:
-        raise NotImplementedError("mega route needs a dense final stage")
-    return fused_mlp_forward_padded(act, mlp_ws, mlp_ts, out_scale,
-                                    out_bias, abits=config.abits,
-                                    interpret=interpret)
+    act = prepare_input(config, x)
+    for _, fn in mega_stages(config, decoded, out_scale, out_bias,
+                             interpret=interpret):
+        act = fn(act)
+    return act
 
 
 def make_forward_fn(config: NetworkConfig, *, impl: str = "pallas",

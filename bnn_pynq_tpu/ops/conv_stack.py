@@ -95,6 +95,19 @@ def conv_chain_vmem(x, weights, thresholds, *, kernel: int, abits: int,
         raise ValueError(f"patch lanes {cx} != K²C_in {k * k * chans[0]}")
     if not input_patches and cx != chans[0]:
         raise ValueError(f"channels {cx} != weight C_in {chans[0]}")
+    # In-kernel patch builds store at lane offsets idx*c — only Mosaic-
+    # legal for 32-aligned channel counts (probed on v5e, see
+    # tools/mosaic_probes.py). Interpret mode would silently accept any c
+    # and then fail at Mosaic lowering on real hardware; reject at trace
+    # time instead.
+    start_j = 1 if input_patches else 0
+    for j in range(start_j, n_layers):
+        if chans[j] % 32 != 0:
+            raise ValueError(
+                f"in-kernel patch build for layer {j} needs a 32-aligned "
+                f"channel count, got {chans[j]} (lane-offset stores are "
+                "only Mosaic-legal at 32-multiples); prebuild this "
+                "layer's patches in XLA instead")
 
     nthr = thresholds[0].shape[0]
     level_off = 1 if abits == 1 else 3

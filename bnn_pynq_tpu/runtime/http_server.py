@@ -27,6 +27,11 @@ from bnn_pynq_tpu.runtime.serving import BatchingServer
 
 def make_handler(classifier: Classifier, server: BatchingServer):
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 + Content-Length on every response → keep-alive, so
+        # HttpBackend's per-worker persistent connections actually reuse
+        # sockets instead of reconnecting per request.
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):
             pass
 
@@ -40,6 +45,13 @@ def make_handler(classifier: Classifier, server: BatchingServer):
 
         def do_GET(self):
             if self.path == "/healthz":
+                # A stopping server must fail its health check even on an
+                # already-open keep-alive connection (handler threads
+                # outlive shutdown()), or failover never triggers.
+                if server.stopped:
+                    self.close_connection = True
+                    self._send(503, b"stopping", "text/plain")
+                    return
                 self._send(200, b"ok", "text/plain")
             elif self.path == "/stats":
                 self._send(200, json.dumps(
@@ -50,6 +62,11 @@ def make_handler(classifier: Classifier, server: BatchingServer):
         def do_POST(self):
             if self.path != "/classify":
                 self._send(404, b"not found", "text/plain")
+                return
+            if server.stopped:
+                self.close_connection = True
+                self._send(503, json.dumps(
+                    {"error": "server stopped"}).encode())
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))

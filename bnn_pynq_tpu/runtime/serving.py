@@ -82,18 +82,37 @@ class BatchingServer:
     # -- client API -------------------------------------------------------
     def submit(self, x_prepared: np.ndarray) -> Future:
         """Enqueue ONE prepared input (no batch dim); resolves to the class
-        index (or logits)."""
+        index (or logits). After stop(), resolves immediately with an
+        error — a stopped server must fail fast, not strand requests
+        (clients behind keep-alive connections would otherwise hang on a
+        queue nobody drains; the Frontend failover path depends on the
+        fast error to re-dispatch)."""
         req = _Request(np.asarray(x_prepared))
+        if self._stop.is_set():
+            req.future.set_exception(RuntimeError("server stopped"))
+            return req.future
         self._q.put(req)
         return req.future
 
     def classify(self, x_prepared: np.ndarray, timeout: float = 60.0):
         return self.submit(x_prepared).result(timeout)
 
+    @property
+    def stopped(self) -> bool:
+        return self._stop.is_set()
+
     def stop(self):
         self._stop.set()
         self._q.put(None)
         self._thread.join(timeout=10)
+        # fail anything still queued so no future is stranded
+        try:
+            while True:
+                r = self._q.get_nowait()
+                if r is not None and not r.future.done():
+                    r.future.set_exception(RuntimeError("server stopped"))
+        except queue.Empty:
+            pass
 
     # -- dispatcher -------------------------------------------------------
     def _collect(self) -> List[_Request]:

@@ -173,23 +173,57 @@ def _resize32(img: np.ndarray) -> np.ndarray:
     return np.asarray(Image.fromarray(img).resize((32, 32), Image.BILINEAR))
 
 
+def _roi_crop(img: np.ndarray, row: dict) -> np.ndarray:
+    """Crop to the sign's ROI from a GTSRB annotation row (columns
+    Roi.X1/Y1/X2/Y2, inclusive pixel coords). The upstream training
+    pipeline crops to the annotated ROI before resizing — skipping the
+    crop shifts top-1 by more than the Δ≤0.1% gate tolerates (SURVEY.md
+    hard-part #2), so the crop is mandatory whenever the columns exist."""
+    try:
+        x1, y1 = int(row["Roi.X1"]), int(row["Roi.Y1"])
+        x2, y2 = int(row["Roi.X2"]), int(row["Roi.Y2"])
+    except (KeyError, TypeError, ValueError):
+        return img
+    h, w = img.shape[:2]
+    x1, y1 = max(0, x1), max(0, y1)
+    x2, y2 = min(w - 1, x2), min(h - 1, y2)
+    if x2 <= x1 or y2 <= y1:
+        return img
+    return img[y1:y2 + 1, x1:x2 + 1]
+
+
 def load_gtsrb_raw(root: str) -> dict:
-    """Training set from class dirs; test set from the final-test CSV when
-    present, else a held-out shuffled split of the training images (the
-    reference trains/evaluates GTSRB similarly after preprocessing)."""
+    """Training set from class dirs (ROI-cropped via the per-class
+    GT-<class>.csv annotations, then bilinear-resized to 32×32); test set
+    from the final-test CSV when present, else a held-out shuffled split
+    of the training images. The holdout fallback is NOT the canonical
+    GTSRB test set — the manifest marks it `test_split=holdout...` so the
+    Δ≤0.1% accuracy gate can flag the comparison as non-canonical."""
     base = os.path.join(root, "GTSRB")
     train_dir = os.path.join(base, "Final_Training", "Images")
     if not os.path.isdir(train_dir):
         raise FileNotFoundError(train_dir)
     xs, ys = [], []
+    n_uncropped = 0
     for cls_name in sorted(os.listdir(train_dir)):
         cls_dir = os.path.join(train_dir, cls_name)
         if not os.path.isdir(cls_dir):
             continue
         cls = int(cls_name)
+        rois = {}
+        ann = os.path.join(cls_dir, f"GT-{cls_name}.csv")
+        if os.path.exists(ann):
+            with open(ann, newline="") as f:
+                for row in csv.DictReader(f, delimiter=";"):
+                    rois[row["Filename"]] = row
         for fn in sorted(os.listdir(cls_dir)):
             if fn.endswith(".ppm"):
-                xs.append(_resize32(_read_ppm(os.path.join(cls_dir, fn))))
+                img = _read_ppm(os.path.join(cls_dir, fn))
+                if fn in rois:
+                    img = _roi_crop(img, rois[fn])
+                else:
+                    n_uncropped += 1
+                xs.append(_resize32(img))
                 ys.append(cls)
     if not xs:
         raise FileNotFoundError(f"no .ppm files under {train_dir}")
@@ -198,6 +232,9 @@ def load_gtsrb_raw(root: str) -> dict:
     if y.max() > 42:
         raise ValueError("GTSRB labels out of range")
 
+    manifest = {"n_train_ppm": str(len(x)),
+                "n_train_uncropped": str(n_uncropped),
+                "resize": "bilinear-32x32", "crop": "roi-csv"}
     test_dir = os.path.join(base, "Final_Test", "Images")
     csv_path = _find(["GT-final_test.csv",
                       os.path.join("Final_Test", "GT-final_test.csv")], base)
@@ -206,20 +243,24 @@ def load_gtsrb_raw(root: str) -> dict:
         with open(csv_path, newline="") as f:
             for row in csv.DictReader(f, delimiter=";"):
                 p = os.path.join(test_dir, row["Filename"])
-                txs.append(_resize32(_read_ppm(p)))
+                txs.append(_resize32(_roi_crop(_read_ppm(p), row)))
                 tys.append(int(row["ClassId"]))
         x_test = np.stack(txs).astype(np.uint8)
         y_test = np.asarray(tys, dtype=np.int32)
         x_train, y_train = x, y
+        manifest["test_split"] = "final-test-csv"
     else:
         rng = np.random.default_rng(0)
         perm = rng.permutation(len(x))
         n_test = max(1, len(x) // 10)
         x_test, y_test = x[perm[:n_test]], y[perm[:n_test]]
         x_train, y_train = x[perm[n_test:]], y[perm[n_test:]]
+        manifest["test_split"] = ("holdout-10pct-seed0 "
+                                  "(NON-CANONICAL: no GT-final_test.csv; "
+                                  "baseline-gate comparisons are "
+                                  "indicative only)")
     return {"x_train": x_train, "y_train": y_train,
-            "x_test": x_test, "y_test": y_test,
-            "manifest": {"n_train_ppm": str(len(x))}}
+            "x_test": x_test, "y_test": y_test, "manifest": manifest}
 
 
 _LOADERS = {

@@ -37,7 +37,8 @@ def evaluate(engine, ds, batch, limit=None):
     correct = 0
     t0 = time.perf_counter()
     for i in range(0, n, batch):
-        xs, ys = ds.x_test[i:i + batch], ds.y_test[i:i + batch]
+        hi = min(i + batch, n)
+        xs, ys = ds.x_test[i:hi], ds.y_test[i:hi]
         correct += int((engine.classify(xs) == ys).sum())
     dt = time.perf_counter() - t0
     return correct / n, dt / n * 1e6, n
