@@ -1,19 +1,20 @@
 """Collective/compute-overlapped tensor parallelism (SURVEY.md §5.8's
-first-class "collective-compute overlap" component; VERDICT r1 weak #4).
+first-class "collective-compute overlap" component; VERDICT r1 weak #4,
+r2 missing #4).
 
 The plain TP engine (parallel/tp.py) all-gathers every layer's output
 channels before the next layer — a blocking collective between every
 pair of matmuls. This module never gathers: activations stay
 output-shard-resident, and each next layer consumes them with a RING —
-at step t the device multiplies the shard it currently holds against
-the matching row block of its local (column-sharded) weight matrix,
-while `lax.ppermute` forwards the shard to the neighbor. XLA emits
-`collective-permute-start/done` around the dot, so the ICI transfer of
-shard t+1 overlaps the MXU work on shard t — the standard Megatron-
+at step t the device computes with the shard it currently holds against
+the matching slice of its local (column-sharded) weights, while
+`lax.ppermute` forwards the shard to the neighbor. XLA emits
+`collective-permute-start/done` around the compute, so the ICI transfer
+of shard t+1 overlaps the MXU work on shard t — the standard Megatron-
 style all-gather-overlap pattern, expressed with shard_map so the
 schedule is explicit.
 
-Layer shardings:
+Layer shardings (MLP):
 - hidden W_j [K_j, N_j]: column-sharded P(None, 'model'), FULL rows
   (each device owns every row of its output-channel slice);
 - thresholds: P(None, 'model');
@@ -21,22 +22,41 @@ Layer shardings:
   contributes its held shard's partial product, one psum finishes it;
 - batch over 'data'.
 
-Works on decoded int8 level weights (decode-once-at-load, the measured-
-fastest storage — see perf_results). MLP topologies (SFC/LFC — the nets
-whose serving path TP actually helps; CNV TP uses parallel/tp.py).
+Conv networks (CNV — BASELINE config #5's tensor-sharded serving): conv
+is LINEAR in the input-channel axis, so the same ring applies — conv
+weights are output-channel-sharded P(None,None,None,'model') with FULL
+input channels; at ring step t the device convolves the activation
+C-shard it holds against `w_hwio[:, :, shard_rows, :]` (a contiguous
+slice — no host reorder needed) and accumulates int32 partials. Pools
+act channelwise on the sharded activations (zero communication). The
+one layout subtlety is the conv→dense flatten: locally flattening a
+C-sharded [B,h,w,Cs] map produces rows in (hw, c_within) order, so the
+first dense layer's weight ROWS are permuted host-side at load into
+(c_block, hw, c_within) order (`reorder_dense_rows_for_csharding`) —
+after which it rings exactly like any MLP hidden layer.
+
+All compute runs on decoded int8 level weights (decode-once-at-load, the
+measured-fastest storage — see perf_results); convs use the bf16-exact
+MXU path (models/network._conv_bf16_exact — integer-exact, documented
+there).
+
+`blocking=True` builds the same math with an all-gather after every
+layer instead of rings — the control arm for overlap-vs-blocking
+comparisons (tools/overlap_compare.py) and a second exactness witness.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from bnn_pynq_tpu.compiler.finnthesizer import CompiledNetwork
-from bnn_pynq_tpu.models.config import DenseSpec
-from bnn_pynq_tpu.models.network import decode_params, make_plan, \
-    _input_codes
+from bnn_pynq_tpu.models.network import (_conv_bf16_exact, _input_codes,
+                                         decode_params, make_plan)
+from bnn_pynq_tpu.ops.conv import maxpool2d
 
 
 def _levels(codes, abits):
@@ -44,68 +64,155 @@ def _levels(codes, abits):
             - (1 if abits == 1 else 3)).astype(jnp.int8)
 
 
-def make_overlap_tp_forward(config, mesh: Mesh, *, interpret=None):
+def _threshold(acc, thr):
+    """codes = Σ_t (acc >= thr_t), broadcasting thr rows over leading dims."""
+    code = jnp.zeros(acc.shape, jnp.int32)
+    for t in range(thr.shape[0]):
+        code = code + (acc >= thr[t]).astype(jnp.int32)
+    return code
+
+
+def _ring(perm_axis_size, my, cur, partial_fn):
+    """Generic overlap ring: accumulate partial_fn(shard_idx, shard) over
+    all d shards while ppermuting the held shard to the right neighbor;
+    XLA overlaps the permute of shard t+1 with the compute on shard t."""
+    d = perm_axis_size
+    acc = None
+    for t in range(d):
+        idx = (my - t) % d
+        part = partial_fn(idx, cur)
+        acc = part if acc is None else acc + part
+        if t != d - 1:
+            cur = jax.lax.ppermute(
+                cur, "model", perm=[(i, (i + 1) % d) for i in range(d)])
+    return acc
+
+
+def reorder_dense_rows_for_csharding(w, hw: int, c: int, d: int):
+    """Permute dense rows from flatten order (hw, c) to the order a
+    C-sharded local flatten produces: (c_block, hw, c_within). Row block
+    `idx` of the result is then the contiguous [idx·K/d, (idx+1)·K/d)
+    slice the ring's dynamic_slice expects."""
+    k, _ = w.shape
+    if k != hw * c or c % d != 0:
+        raise ValueError(f"rows {k} != hw*c {hw * c} or C {c} % d {d}")
+    cs = c // d
+    idx = np.arange(k)
+    h_, cc = idx // c, idx % c
+    new = (cc // cs) * (hw * cs) + h_ * cs + (cc % cs)
+    out = np.empty_like(np.asarray(w))
+    out[new] = np.asarray(w)[idx]
+    return out
+
+
+def _validate_divisibility(config, plan, d):
+    for i, lp in enumerate(plan):
+        if lp.kind == "pool":
+            continue
+        if not lp.last and lp.n % d != 0:
+            raise ValueError(
+                f"layer {i}: output width {lp.n} not divisible by "
+                f"model axis {d}")
+        if lp.last and lp.k % d != 0:
+            raise ValueError(
+                f"final layer contraction {lp.k} not divisible by "
+                f"model axis {d}")
+
+
+def make_overlap_tp_forward(config, mesh: Mesh, *, blocking: bool = False,
+                            interpret=None):
     """jitted fn(weights, thrs, out_scale, out_bias, x) → float32 logits.
-    weights/thrs are lists (sharded per the module docstring)."""
-    if not all(isinstance(s, DenseSpec) for s in config.layers):
-        raise ValueError("overlap TP engine supports all-dense MLPs; "
-                         "use parallel/tp.py for conv networks")
+    weights/thrs are lists (sharded per the module docstring). Supports
+    all-dense MLPs and conv networks (conv → pool → dense tail)."""
     plan = make_plan(config)
     abits = config.abits
     d = mesh.shape["model"]
-    n_layers = len(plan)
+    _validate_divisibility(config, plan, d)
 
     def local_forward(weights, thrs, out_scale, out_bias, x):
         my = jax.lax.axis_index("model")
-        codes = _input_codes(config, x.reshape(x.shape[0], -1))
+        if config.input_kind == "bipolar":
+            codes = _input_codes(config, x.reshape(x.shape[0], -1))
+            act = _levels(codes, abits)
+        else:
+            act = jnp.asarray(x, dtype=jnp.int8)   # raw int8 image levels
 
-        # layer 0: input replicated over 'model' → straight column-
-        # parallel dot, no communication at all
-        acc = jax.lax.dot_general(
-            _levels(codes, abits), weights[0],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        code = jnp.zeros(acc.shape, jnp.int32)
-        for t in range(thrs[0].shape[0]):
-            code = code + (acc >= thrs[0][t][None, :]).astype(jnp.int32)
-        shard = _levels(code, abits)          # [B_local, N_1/d] levels
+        replicated_in = True   # layer 0 input is replicated over 'model'
+        wi = 0                 # index into weights/thrs lists
+        for li, lp in enumerate(plan):
+            if lp.kind == "pool":
+                act = maxpool2d(act, lp.window)    # channelwise: no comm
+                continue
+            if lp.kind in ("conv", "conv_int8"):
+                w = weights[wi]                    # [kh,kw,C(full),N/d]
+                if replicated_in:
+                    acc = _conv_bf16_exact(act, w, lp.stride)
+                else:
+                    cs = w.shape[2] // d
 
-        # hidden layers: ring-accumulate over the d activation shards;
-        # ppermute(shard t+1) overlaps the dot on shard t
-        for li in range(1, n_layers - 1):
-            w = weights[li]                    # [K, N/d] full rows
-            kshard = w.shape[0] // d
-            acc = None
-            cur = shard
-            for t in range(d):
-                idx = (my - t) % d             # which shard cur holds
-                rows = jax.lax.dynamic_slice_in_dim(
-                    w, idx * kshard, kshard, axis=0)
-                part = jax.lax.dot_general(
-                    cur, rows,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                acc = part if acc is None else acc + part
-                if t != d - 1:
-                    cur = jax.lax.ppermute(
-                        cur, "model",
-                        perm=[(i, (i + 1) % d) for i in range(d)])
-            code = jnp.zeros(acc.shape, jnp.int32)
-            for t in range(thrs[li].shape[0]):
-                code = code + (acc >= thrs[li][t][None, :]).astype(jnp.int32)
-            shard = _levels(code, abits)
+                    def conv_part(idx, cur, w=w, cs=cs, s=lp.stride):
+                        rows = jax.lax.dynamic_slice_in_dim(
+                            w, idx * cs, cs, axis=2)
+                        return _conv_bf16_exact(cur, rows, s)
+                    if blocking:
+                        full = jax.lax.all_gather(act, "model", axis=3,
+                                                  tiled=True)
+                        acc = _conv_bf16_exact(full, w, lp.stride)
+                    else:
+                        acc = _ring(d, my, act, conv_part)
+            else:
+                if act.ndim > 2:
+                    act = act.reshape(act.shape[0], -1)
+                w = weights[wi]
+                if lp.last:
+                    # row-sharded final layer: partial dot + one psum
+                    part = jax.lax.dot_general(
+                        act, w, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    acc = jax.lax.psum(part, "model")
+                elif replicated_in:
+                    acc = jax.lax.dot_general(
+                        act, w, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                else:
+                    kshard = w.shape[0] // d
 
-        # final layer: row-sharded weights — one partial dot + psum
-        part = jax.lax.dot_general(
-            shard, weights[-1],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        logits = jax.lax.psum(part, "model")
-        return logits.astype(jnp.float32) * out_scale[None, :] \
-            + out_bias[None, :]
+                    def dense_part(idx, cur, w=w, kshard=kshard):
+                        rows = jax.lax.dynamic_slice_in_dim(
+                            w, idx * kshard, kshard, axis=0)
+                        return jax.lax.dot_general(
+                            cur, rows,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+                    if blocking:
+                        full = jax.lax.all_gather(act, "model", axis=1,
+                                                  tiled=True)
+                        acc = jax.lax.dot_general(
+                            full, w,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+                    else:
+                        acc = _ring(d, my, act, dense_part)
+            if lp.last:
+                return acc.astype(jnp.float32) * out_scale[None, :] \
+                    + out_bias[None, :]
+            act = _levels(_threshold(acc, thrs[wi]), abits)
+            replicated_in = False
+            wi += 1
+        raise AssertionError("plan had no final layer")
 
-    w_specs = [P(None, "model")] * (n_layers - 1) + [P("model", None)]
-    t_specs = [P(None, "model")] * (n_layers - 1)
+    w_specs, t_specs = [], []
+    for lp in plan:
+        if lp.kind == "pool":
+            continue
+        if lp.last:
+            w_specs.append(P("model", None))
+        elif lp.kind in ("conv", "conv_int8"):
+            w_specs.append(P(None, None, None, "model"))
+            t_specs.append(P(None, "model"))
+        else:
+            w_specs.append(P(None, "model"))
+            t_specs.append(P(None, "model"))
     fn = shard_map(
         local_forward, mesh=mesh,
         in_specs=(tuple(w_specs), tuple(t_specs), P(None), P(None),
@@ -117,41 +224,80 @@ def make_overlap_tp_forward(config, mesh: Mesh, *, interpret=None):
 
 
 class OverlapTPEngine:
-    """Multi-chip MLP engine with overlapped collectives (same logits API
-    as runtime.InferenceEngine for prepared inputs)."""
+    """Multi-chip engine with overlapped collectives (same logits API as
+    runtime.InferenceEngine; supports MLPs and conv networks). Can be
+    owned by runtime.serving.BatchingServer: `classify(xs, prepared=True)`
+    pads the batch to a data-axis multiple internally."""
 
-    def __init__(self, compiled: CompiledNetwork, mesh: Mesh):
-        import numpy as np
+    def __init__(self, compiled: CompiledNetwork, mesh: Mesh,
+                 blocking: bool = False):
         self.compiled = compiled
         self.config = compiled.config
         self.mesh = mesh
+        d = mesh.shape["model"]
+        self._data_d = mesh.shape.get("data", 1)
         plan = make_plan(self.config)
         raw = [{k: jnp.asarray(v) for k, v in layer.items()}
                for layer in compiled.layers]
         decoded = decode_params(self.config, raw)
-        n = len(plan)
         self.weights = []
         self.thrs = []
-        for i, p in enumerate(decoded):
-            spec = P("model", None) if i == n - 1 else P(None, "model")
-            self.weights.append(jax.device_put(
-                p["w_int8"], NamedSharding(mesh, spec)))
-            if i != n - 1:
+        prev_hw_c = None       # (h*w, c) at the conv→dense flatten
+        h, w = (self.config.input_shape[0], self.config.input_shape[1]) \
+            if self.config.input_kind == "int8" else (1, 1)
+        first_dense_after_conv = self.config.input_kind == "int8"
+        for lp, p in zip(plan, decoded):
+            if lp.kind == "pool":
+                h //= lp.window
+                w //= lp.window
+                continue
+            if lp.kind in ("conv", "conv_int8"):
+                c_in = lp.k // (lp.kernel * lp.kernel)
+                w_hwio = p["w_hwio"] if "w_hwio" in p else \
+                    p["w_int8"].reshape(lp.kernel, lp.kernel, c_in, lp.n)
+                self.weights.append(jax.device_put(
+                    w_hwio,
+                    NamedSharding(mesh, P(None, None, None, "model"))))
+                h = (h - lp.kernel) // lp.stride + 1
+                w = (w - lp.kernel) // lp.stride + 1
+                prev_hw_c = (h * w, lp.n)
+            else:
+                wm = np.asarray(p["w_int8"])
+                if first_dense_after_conv and prev_hw_c is not None:
+                    wm = reorder_dense_rows_for_csharding(
+                        wm, prev_hw_c[0], prev_hw_c[1], d)
+                    first_dense_after_conv = False
+                spec = P("model", None) if lp.last else P(None, "model")
+                self.weights.append(jax.device_put(
+                    jnp.asarray(wm), NamedSharding(mesh, spec)))
+            if not lp.last:
                 self.thrs.append(jax.device_put(
                     p["thr"], NamedSharding(mesh, P(None, "model"))))
         self.out_scale = jax.device_put(
             jnp.asarray(compiled.out_scale), NamedSharding(mesh, P()))
         self.out_bias = jax.device_put(
             jnp.asarray(compiled.out_bias), NamedSharding(mesh, P()))
-        self._fn = make_overlap_tp_forward(self.config, mesh)
+        self._fn = make_overlap_tp_forward(self.config, mesh,
+                                           blocking=blocking)
         self._data_sh = NamedSharding(mesh, P("data"))
-        self._np = np
 
-    def logits(self, x_prepared):
-        x = jax.device_put(jnp.asarray(x_prepared), self._data_sh)
-        return self._np.asarray(self._fn(tuple(self.weights),
-                                         tuple(self.thrs),
-                                         self.out_scale, self.out_bias, x))
+    def prepare(self, x):
+        from bnn_pynq_tpu.runtime.engine import prepare_host
+        return prepare_host(self.config, x)
 
-    def classify(self, x_prepared):
-        return self.logits(x_prepared).argmax(-1)
+    def logits(self, x, *, prepared: bool = True):
+        if not prepared:
+            x = self.prepare(x)
+        x = np.asarray(x)
+        b = x.shape[0]
+        pad = (-b) % self._data_d
+        if pad:
+            x = np.concatenate(
+                [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+        xd = jax.device_put(jnp.asarray(x), self._data_sh)
+        out = np.asarray(self._fn(tuple(self.weights), tuple(self.thrs),
+                                  self.out_scale, self.out_bias, xd))
+        return out[:b]
+
+    def classify(self, x, *, prepared: bool = True):
+        return self.logits(x, prepared=prepared).argmax(-1)

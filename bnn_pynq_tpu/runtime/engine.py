@@ -30,6 +30,21 @@ from bnn_pynq_tpu.ops.matmul import on_tpu
 DEFAULT_BATCH_BUCKETS = (1, 16, 64, 256, 1024)
 
 
+def prepare_host(config: NetworkConfig, x: np.ndarray) -> np.ndarray:
+    """uint8 images → engine input (binarize or center to int8); the host
+    half of the reference's `binarizeAndPack` (SURVEY.md C10). Shared by
+    InferenceEngine and the TP engines."""
+    x = np.asarray(x)
+    if config.input_kind == "bipolar":
+        flat = x.reshape(x.shape[0], -1)
+        if x.dtype == np.uint8:
+            return np.where(flat >= 128, 1, -1).astype(np.int8)
+        return np.where(flat >= 0, 1, -1).astype(np.int8)
+    if x.dtype == np.uint8:
+        return (x.astype(np.int32) - 128).astype(np.int8)
+    return x.astype(np.int8)
+
+
 class InferenceEngine:
     """Loads a CompiledNetwork and serves classifications."""
 
@@ -142,15 +157,7 @@ class InferenceEngine:
     def prepare(self, x: np.ndarray) -> np.ndarray:
         """uint8 images → engine input (binarize or center to int8); the
         `binarizeAndPack` half that happens on the host."""
-        x = np.asarray(x)
-        if self.config.input_kind == "bipolar":
-            flat = x.reshape(x.shape[0], -1)
-            if x.dtype == np.uint8:
-                return np.where(flat >= 128, 1, -1).astype(np.int8)
-            return np.where(flat >= 0, 1, -1).astype(np.int8)
-        if x.dtype == np.uint8:
-            return (x.astype(np.int32) - 128).astype(np.int8)
-        return x.astype(np.int8)
+        return prepare_host(self.config, x)
 
     def _bucket(self, b: int) -> int:
         for s in self.batch_buckets:

@@ -114,3 +114,104 @@ def test_overlap_tp_scaling_efficiency_real_hw():
         times[nd] = (time.perf_counter() - t0) / 20
     eff = times[1] / times[2]   # weak scaling: ideal = equal step time
     assert eff >= 0.8, f"2-device weak-scaling efficiency {eff:.2f} < 0.8"
+
+
+# -- conv networks (round 3: BASELINE config #5 — CNV tensor-sharded) -------
+
+def _compiled_mini_cnv(wbits=1, abits=1, seed=11):
+    from bnn_pynq_tpu.compiler import compile_network
+    from tests.test_finnthesizer import init_perturbed, mini_cnv
+    cfg = mini_cnv(wbits, abits)
+    _, params, stats = init_perturbed(cfg, seed=seed)
+    return compile_network(cfg, params, stats)
+
+
+@pytest.mark.parametrize("wbits,abits", [(1, 1), (2, 2)])
+def test_overlap_tp_conv_matches_ref(wbits, abits):
+    compiled = _compiled_mini_cnv(wbits, abits)
+    mesh = make_mesh(data=2, model=4)
+    eng = OverlapTPEngine(compiled, mesh)
+    ref = InferenceEngine(compiled, runtime="ref", batch_buckets=(8,))
+    rng = np.random.default_rng(2)
+    x = rng.integers(-128, 128, size=(8, 10, 10, 3)).astype(np.int8)
+    np.testing.assert_allclose(eng.logits(x), ref.logits(x, prepared=True),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_overlap_tp_conv_blocking_arm_matches_ref():
+    """The blocking control arm (all-gather instead of rings) must agree
+    bit-for-bit too — it is the baseline of every overlap-vs-blocking
+    wall-clock comparison (tools/overlap_compare.py)."""
+    compiled = _compiled_mini_cnv(1, 1)
+    mesh = make_mesh(data=1, model=4)
+    eng = OverlapTPEngine(compiled, mesh, blocking=True)
+    ref = InferenceEngine(compiled, runtime="ref", batch_buckets=(8,))
+    rng = np.random.default_rng(3)
+    x = rng.integers(-128, 128, size=(8, 10, 10, 3)).astype(np.int8)
+    np.testing.assert_allclose(eng.logits(x), ref.logits(x, prepared=True),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_overlap_tp_conv_hlo_structure():
+    """The flagship CNV path must ring between layers: collective-permute
+    present, NO all-gather anywhere (the blocking engine's signature),
+    and exactly one all-reduce (the final logits psum)."""
+    compiled = _compiled_mini_cnv(1, 1)
+    mesh = make_mesh(data=1, model=4)
+    eng = OverlapTPEngine(compiled, mesh)
+    x = jax.device_put(
+        np.ones((8, 10, 10, 3), np.int8),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")))
+    hlo = eng._fn.lower(tuple(eng.weights), tuple(eng.thrs), eng.out_scale,
+                        eng.out_bias, x).compile().as_text()
+    assert "collective-permute" in hlo, "conv ring ppermute missing"
+    assert "all-gather" not in hlo, "blocking activation all-gather present"
+    if jax.default_backend() in ("tpu", "axon"):
+        assert "collective-permute-start" in hlo
+
+
+def test_overlap_tp_conv_blocking_hlo_has_all_gather():
+    """Sanity check of the control arm: blocking=True really does gather."""
+    compiled = _compiled_mini_cnv(1, 1)
+    mesh = make_mesh(data=1, model=4)
+    eng = OverlapTPEngine(compiled, mesh, blocking=True)
+    x = jax.device_put(
+        np.ones((8, 10, 10, 3), np.int8),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")))
+    hlo = eng._fn.lower(tuple(eng.weights), tuple(eng.thrs), eng.out_scale,
+                        eng.out_bias, x).compile().as_text()
+    assert "all-gather" in hlo
+
+
+def test_batching_server_owns_tp_engine():
+    """BASELINE config #5 serving path: continuous batching over the
+    tensor-sharded engine (BatchingServer drains requests into batches
+    that the TP engine pads to the data-axis multiple)."""
+    from bnn_pynq_tpu.runtime.serving import BatchingServer
+    compiled = _compiled_mini_cnv(1, 1)
+    mesh = make_mesh(data=2, model=4)
+    eng = OverlapTPEngine(compiled, mesh)
+    ref = InferenceEngine(compiled, runtime="ref", batch_buckets=(16,))
+    server = BatchingServer(eng, max_batch=16, max_wait_ms=5.0)
+    rng = np.random.default_rng(4)
+    x = rng.integers(-128, 128, size=(13, 10, 10, 3)).astype(np.int8)
+    try:
+        futures = [server.submit(x[i]) for i in range(13)]
+        got = np.asarray([f.result(120) for f in futures])
+    finally:
+        server.stop()
+    want = ref.classify(x, prepared=True)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_overlap_tp_full_cnv_w1a1():
+    """Full-size CNV-W1A1 (the flagship) through the conv overlap engine
+    on the virtual mesh — the shapes the serving deployment would run."""
+    compiled = _compiled("cnv-w1a1")
+    mesh = make_mesh(data=1, model=4)
+    eng = OverlapTPEngine(compiled, mesh)
+    ref = InferenceEngine(compiled, runtime="ref", batch_buckets=(4,))
+    rng = np.random.default_rng(5)
+    x = rng.integers(-128, 128, size=(4, 32, 32, 3)).astype(np.int8)
+    np.testing.assert_allclose(eng.logits(x), ref.logits(x, prepared=True),
+                               rtol=1e-5, atol=1e-5)
