@@ -44,3 +44,52 @@ def test_train_compile_classify_roundtrip(tmp_path, capsys, monkeypatch):
     cli.main(["classify", artifact, img_path, "--runtime", "ref"])
     out = capsys.readouterr().out
     assert "usecPerImage" in out
+
+
+def test_gate_all_skips_without_data(tmp_path, capsys, monkeypatch):
+    """`gate-all` with an empty data dir: every row skipped, exit 0."""
+    import json
+    from bnn_pynq_tpu.cli import main
+    monkeypatch.setenv("BNN_DATA_DIR", str(tmp_path / "empty"))
+    monkeypatch.chdir(tmp_path)
+    main(["gate-all", "--artifacts", str(tmp_path / "arts")])
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[-1] == {"summary": "skipped x10", "failed": False}
+    assert all("skipped" in r["gate"] for r in lines[:-1])
+
+
+def test_gate_all_trains_and_gates_on_real_data(tmp_path, capsys,
+                                                monkeypatch):
+    """With a (tiny fake) real mnist.npz present, gate-all must produce
+    unattended Δ rows for the mnist workloads — train → eval → gate —
+    and exit 1 (random data can't pass the Δ≤0.1% gate)."""
+    import json
+    import numpy as np
+    import pytest
+    from bnn_pynq_tpu.cli import main
+    rng = np.random.default_rng(0)
+    data = tmp_path / "data"
+    data.mkdir()
+    np.savez(data / "mnist.npz",
+             x_train=rng.integers(0, 256, size=(96, 28, 28, 1)
+                                  ).astype(np.uint8),
+             y_train=rng.integers(0, 10, size=96).astype(np.int32),
+             x_test=rng.integers(0, 256, size=(32, 28, 28, 1)
+                                 ).astype(np.uint8),
+             y_test=rng.integers(0, 10, size=32).astype(np.int32))
+    monkeypatch.setenv("BNN_DATA_DIR", str(data))
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(SystemExit):
+        main(["gate-all", "--train", "--epochs", "1", "--batch", "32",
+              "--artifacts", str(tmp_path / "arts"),
+              "--runtime", "interpret"])
+    rows = {r["network"]: r for r in
+            (json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines())
+            if "network" in r}
+    sfc = rows["sfc-w1a1"]
+    assert sfc["gate"] in ("passed", "FAILED")
+    assert "top1_accuracy" in sfc and "delta" in sfc
+    assert "trained" in sfc                      # artifact was trained
+    assert "skipped" in rows["cnv-w1a1"]["gate"]  # no cifar data

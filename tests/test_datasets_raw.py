@@ -107,6 +107,40 @@ def test_gtsrb_ppm_roundtrip(tmp_path):
     assert set(np.concatenate([z["y_train"], z["y_test"]])) <= {0, 7, 42}
 
 
+def test_gtsrb_roi_crop_and_split_contract(tmp_path):
+    """Pins docs/preprocessing.md: frames are cropped to the annotation
+    CSV's ROI before the bilinear resize, and a missing final-test CSV
+    marks the holdout split NON-CANONICAL in the manifest."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    base = tmp_path / "GTSRB" / "Final_Training" / "Images"
+    d = base / "00003"
+    d.mkdir(parents=True)
+    # frame: black everywhere except a white ROI box at [10:20, 5:15]
+    img = np.zeros((40, 40, 3), np.uint8)
+    img[10:20, 5:15] = 255
+    PIL_Image.fromarray(img).save(d / "00000_00000.ppm")
+    with open(d / "GT-00003.csv", "w") as f:
+        f.write("Filename;Width;Height;Roi.X1;Roi.Y1;Roi.X2;Roi.Y2;"
+                "ClassId\n")
+        f.write("00000_00000.ppm;40;40;5;10;14;19;3\n")
+    # second frame with NO annotation row → used uncropped
+    PIL_Image.fromarray(img).save(d / "00001_00000.ppm")
+    with open(d / "GT-00003.csv", "a") as f:
+        pass
+    out = ingest("gtsrb", root=str(tmp_path))
+    z = np.load(out)
+    xs = np.concatenate([z["x_train"], z["x_test"]])
+    # the cropped frame resizes the all-white ROI → (nearly) all-white
+    # 32×32; the uncropped one keeps mostly-black background
+    means = sorted(float(x.mean()) for x in xs)
+    assert means[-1] > 200, "ROI crop not applied (image not white)"
+    assert means[0] < 80, "uncropped frame missing"
+    manifest = "\n".join(str(s) for s in z["manifest"])
+    assert "n_train_uncropped=1" in manifest
+    assert "NON-CANONICAL" in manifest          # holdout fallback marked
+    assert "crop=roi-csv" in manifest
+
+
 def test_ingest_missing_files_message(tmp_path):
     with pytest.raises(FileNotFoundError):
         ingest("mnist", root=str(tmp_path))
