@@ -19,9 +19,14 @@ import time
 
 BASELINE_IMAGES_PER_SEC = 21_900.0
 INNER_TIMEOUT_S = int(os.environ.get("BENCH_TIMEOUT_S", "1500"))
+# The winning route per tools/tpu_perf_suite.py + tools/stage_prof.py
+# measurements (perf_results/); override with BENCH_ROUTE for A/B runs.
+DEFAULT_ROUTE = os.environ.get("BENCH_ROUTE", "xla")
+DEFAULT_BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
 
 
-def bench_cnv_w1a1(batch: int = 768, iters: int = 400, route: str = "xla"):
+def bench_cnv_w1a1(batch: int = DEFAULT_BATCH, iters: int = 400,
+                   route: str = DEFAULT_ROUTE):
     import numpy as np
     import jax
     from bnn_pynq_tpu.models import get_config

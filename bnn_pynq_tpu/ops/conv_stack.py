@@ -65,6 +65,7 @@ def _threshold_codes(acc, thr_ref, nthr):
 def conv_chain_vmem(x, weights, thresholds, *, kernel: int, abits: int,
                     input_patches: bool = False, input_levels: bool = False,
                     block_b: int = 0, target_rows: int = 4096,
+                    offset_mode: str = "exact", build_mode: str = "slab",
                     interpret=None):
     """Chained stride-1 VALID convs in one kernel, VMEM im2col per layer.
 
@@ -79,6 +80,16 @@ def conv_chain_vmem(x, weights, thresholds, *, kernel: int, abits: int,
     region is [:, :H-n(K-1), :W-n(K-1)] with n = len(weights) minus
     (1 if input_patches else 0) ... i.e. each NON-prebuilt conv shrinks
     the grid by K-1; the caller slices.
+
+    build_mode:
+    - 'slab' (default): per layer, build ONE [rows, K·C] buffer with the
+      K lane-offset stores of kj-shifted levels, then K accumulated MXU
+      dots of contraction K·C — slab `ki` reads rows [ki·W, ki·W+m).
+      K× less VPU copy volume and ~3× less scratch than 'patch9', at the
+      cost of K dot launches per layer (K-tile depth K·C keeps the MXU
+      pipeline reasonably full).
+    - 'patch9': the round-2 design — K² lane-offset stores building the
+      full [m, K²C] patch matrix, one dot of contraction K²C per layer.
     """
     interpret = _resolve_interpret(interpret)
     b, h, w, cx = x.shape
@@ -119,11 +130,14 @@ def conv_chain_vmem(x, weights, thresholds, *, kernel: int, abits: int,
     # size from the image size (a 900-row image no longer forces 7200-row
     # blocks that blow the 16 MB VMEM limit)
     if not block_b:
-        # per-row scratch estimate: lev+patch buffers per layer, int32
+        # per-row scratch estimate: build buffers per layer, int32
         # epilogue temps, and in/out pipeline double-buffers
         start = 1 if input_patches else 0
-        per_row = sum(chans[j] + k * k * chans[j]
-                      for j in range(start, n_layers))
+        if build_mode == "slab":
+            per_row = sum(k * chans[j] for j in range(start, n_layers))
+        else:
+            per_row = sum(chans[j] + k * k * chans[j]
+                          for j in range(start, n_layers))
         per_row += 8 * o_last + 3 * max(cx, 128) + 2 * o_last
         block_b = _pick_block_b(hw_pad, target_rows, per_row)
     b_pad = _round_up(b, block_b)
@@ -137,15 +151,25 @@ def conv_chain_vmem(x, weights, thresholds, *, kernel: int, abits: int,
         x2d = jnp.pad(x2d, ((0, 0), (0, hw_pad - hw), (0, 0)))
     x2d = x2d.reshape(b_pad * hw_pad, cx)
 
+    def _diag(off):
+        # TIMING DIAGNOSTICS ONLY (tools/chain_microbench): 'aligned32'
+        # rounds shifts to sublane-tile multiples (wrong results, zero-
+        # rotation copies), 'zero' removes the shift entirely — the
+        # deltas isolate Mosaic's misaligned-access cost.
+        if offset_mode == "aligned32":
+            return (off // 32) * 32
+        if offset_mode == "zero":
+            return 0
+        return off
+
     def kern(x_ref, *refs):
         w_refs = refs[:n_layers]
         t_refs = refs[n_layers:2 * n_layers]
         out_ref = refs[-1]
 
         def body(*bufs):
-            # bufs: lev scratch per non-final layer output (+ input lev if
-            # the input needs decode), then patch scratch per in-kernel
-            # patch build. Layout computed in `scratches` below.
+            # bufs layout (in visit order): patch9 — (lev_j, p_j) pairs
+            # per in-kernel layer; slab — one D_j per in-kernel layer.
             pos = 0
             if input_patches:
                 vals = x_ref[:] if input_levels else \
@@ -156,15 +180,11 @@ def conv_chain_vmem(x, weights, thresholds, *, kernel: int, abits: int,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
                 start = 1
+                lev = None
             else:
-                lev_in = bufs[pos]
-                pos += 1
-                if input_levels:
-                    lev_in[0:m, :] = x_ref[:]
-                else:
-                    lev_in[0:m, :] = (2 * x_ref[:].astype(jnp.int32)
-                                      - level_off).astype(jnp.int8)
-                cur = lev_in
+                lev = x_ref[:] if input_levels else \
+                    (2 * x_ref[:].astype(jnp.int32)
+                     - level_off).astype(jnp.int8)
                 acc = None
                 start = 0
 
@@ -175,35 +195,57 @@ def conv_chain_vmem(x, weights, thresholds, *, kernel: int, abits: int,
                     if j == n_layers:
                         out_ref[:] = code.astype(jnp.int8)
                         return
-                    lev_out = bufs[pos]
-                    pos += 1
-                    lev_out[0:m, :] = (2 * code - level_off).astype(jnp.int8)
-                    cur = lev_out
-                # build layer j's patch matrix in scratch: k² lane-offset
-                # stores of shifted row slices (VMEM→VMEM VPU copies)
+                    lev = (2 * code - level_off).astype(jnp.int8)
                 c = chans[j]
-                p_ref = bufs[pos]
-                pos += 1
-                for ki in range(k):
+                if build_mode == "slab":
+                    # ONE K·C-wide slab buffer: K kj-shifted stores of the
+                    # level values, then K accumulated dots whose slab ki
+                    # reads rows [ki·W, ki·W+m) (garbage slack rows feed
+                    # only garbage outputs — pitch trick, module docstring)
+                    d_ref = bufs[pos]
+                    pos += 1
                     for kj in range(k):
-                        off = ki * w + kj
-                        idx = ki * k + kj
-                        p_ref[:, idx * c:(idx + 1) * c] = cur[off:off + m, :]
-                acc = jax.lax.dot_general(
-                    p_ref[:], w_refs[j][:],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
+                        sh = _diag(kj)
+                        d_ref[0:m - sh, kj * c:(kj + 1) * c] = lev[sh:m, :]
+                    acc = None
+                    for ki in range(k):
+                        off = _diag(ki * w)
+                        part = jax.lax.dot_general(
+                            d_ref[off:off + m, :],
+                            w_refs[j][ki * k * c:(ki + 1) * k * c, :],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+                        acc = part if acc is None else acc + part
+                else:
+                    # patch9: lev scratch + K² shifted stores building the
+                    # full [m, K²C] patch matrix, one big dot
+                    lev_ref = bufs[pos]
+                    pos += 1
+                    lev_ref[0:m, :] = lev
+                    p_ref = bufs[pos]
+                    pos += 1
+                    for ki in range(k):
+                        for kj in range(k):
+                            off = _diag(ki * w + kj)
+                            idx = ki * k + kj
+                            p_ref[:, idx * c:(idx + 1) * c] = \
+                                lev_ref[off:off + m, :]
+                    acc = jax.lax.dot_general(
+                        p_ref[:], w_refs[j][:],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
 
         scratches = []
-        if not input_patches:
-            scratches.append(pltpu.VMEM((m + maxoff, chans[0]), jnp.int8))
-            scratches.append(pltpu.VMEM((m, k * k * chans[0]), jnp.int8))
-        for j in range(1, n_layers):
-            scratches.append(pltpu.VMEM((m + maxoff, chans[j]), jnp.int8))
-            scratches.append(pltpu.VMEM((m, k * k * chans[j]), jnp.int8))
-        # reorder: body expects lev then patch per layer in visit order —
-        # the list above already interleaves (lev_j, p_j) correctly for
-        # start=0; for input_patches the first lev/patch pair is absent.
+        start = 1 if input_patches else 0
+        for j in range(start, n_layers):
+            if build_mode == "slab":
+                scratches.append(
+                    pltpu.VMEM((m + maxoff, k * chans[j]), jnp.int8))
+            else:
+                scratches.append(
+                    pltpu.VMEM((m + maxoff, chans[j]), jnp.int8))
+                scratches.append(
+                    pltpu.VMEM((m, k * k * chans[j]), jnp.int8))
         pl.run_scoped(body, *scratches)
 
     in_specs = [pl.BlockSpec((m, cx), lambda i: (i, 0),

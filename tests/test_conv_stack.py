@@ -141,3 +141,27 @@ def _ref_conv_strided(act_levels, wmat, thr, k, stride):
                              jnp.asarray(wmat))
     acc = np.asarray(acc).reshape(b, oh, ow, wmat.shape[1])
     return np.asarray(multithreshold(jnp.asarray(acc), jnp.asarray(thr)))
+
+
+def test_chain_build_modes_agree():
+    """'slab' (K shifted stores + K accumulated dots) and 'patch9'
+    (K² stores + one dot) are different schedules of the same math —
+    bit-identical outputs, including the garbage-region contract."""
+    import numpy as np
+    import jax.numpy as jnp
+    from bnn_pynq_tpu.ops.conv_stack import conv_chain_vmem
+    rng = np.random.default_rng(9)
+    act = jnp.asarray(rng.integers(0, 2, size=(2, 12, 12, 32))
+                      .astype(np.int8))
+    w1 = jnp.asarray(rng.choice([-1, 1], size=(288, 32)).astype(np.int8))
+    w2 = jnp.asarray(rng.choice([-1, 1], size=(288, 64)).astype(np.int8))
+    t1 = jnp.asarray(np.sort(rng.integers(-32, 32, (1, 32)), 0)
+                     .astype(np.int32))
+    t2 = jnp.asarray(np.sort(rng.integers(-32, 32, (1, 64)), 0)
+                     .astype(np.int32))
+    outs = {}
+    for mode in ("slab", "patch9"):
+        out = conv_chain_vmem(act, [w1, w2], [t1, t2], kernel=3, abits=1,
+                              build_mode=mode, interpret=True)
+        outs[mode] = np.asarray(out)[:, :8, :8, :]   # valid region
+    np.testing.assert_array_equal(outs["slab"], outs["patch9"])
