@@ -158,6 +158,11 @@ def test_cli_ingest_and_gate(tmp_path):
     _write_idx(tmp_path / "t10k-labels-idx1-ubyte",
                rng.integers(0, 10, 4).astype(np.uint8))
     env = dict(os.environ, BNN_DATA_DIR=str(tmp_path), JAX_PLATFORMS="cpu")
+    # JAX_PLATFORMS=cpu alone is IGNORED when the axon sitecustomize
+    # registers the TPU plugin; it only activates when
+    # PALLAS_AXON_POOL_IPS is set, so strip that and the subprocess
+    # really runs on CPU (a wedged TPU tunnel must not hang this test)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run(
         [sys.executable, "-m", "bnn_pynq_tpu.cli", "ingest", "mnist",
          "--root", str(tmp_path)],

@@ -182,7 +182,8 @@ def main():
     repeats = 2 if args.quick else args.repeats
 
     from bnn_pynq_tpu.utils.metrics import (chip_specs,
-                                            mxu_roofline_images_per_sec)
+                                            mxu_roofline_images_per_sec,
+                                            vpu_bitop_roofline_images_per_sec)
 
     cases = list(CASES)
     if args.routes:
@@ -208,6 +209,10 @@ def main():
                    "images_per_sec": round(batch / dt, 1),
                    "usec_per_image": round(dt / batch * 1e6, 3),
                    "roofline_frac": round(batch / dt / sol, 4),
+                   # the packed routes' own physics (docs/packed_kernels.md)
+                   "vpu_bitop_frac": round(
+                       batch / dt / vpu_bitop_roofline_images_per_sec(
+                           cfg, chip_specs()), 4),
                    "spread": round(spread, 3), "iters": iters,
                    "compile_s": round(compile_s, 1),
                    "calib_ms": calib_ms, "floor_ms": floor_ms}
