@@ -271,7 +271,13 @@ def forward_xla(config: NetworkConfig, decoded, x, *,
     (v5e/axon, jax 0.9), while patches+dot_general compiles fast.
     'native' — conv via the bf16 MXU conv path (`_conv_bf16_exact`),
     still integer-exact but without materializing K²-duplicated patches.
+    's2d' — space-to-depth reformulation per layer where it pays
+    (ops/conv_s2d.py): K×4s²/K², N×s² dot shapes + pool-as-phase-max;
+    bit-exact with 'patches', ~2.3× faster end-to-end on CNV (measured
+    r3, perf_results/).
     """
+    from bnn_pynq_tpu.ops.conv_s2d import conv_s2d, pick_s2d_block
+
     plan = make_plan(config)
     if config.input_kind == "bipolar":
         x = jnp.asarray(x)
@@ -279,10 +285,14 @@ def forward_xla(config: NetworkConfig, decoded, x, *,
     else:
         act = jnp.asarray(x, dtype=jnp.int8)
 
-    for lp, p in zip(plan, decoded):
+    skip_pool = False
+    for li, (lp, p) in enumerate(zip(plan, decoded)):
         thr = None if lp.last else p.get("thr")
         if lp.kind == "pool":
-            act = maxpool2d(act, lp.window)
+            if skip_pool:
+                skip_pool = False
+            else:
+                act = maxpool2d(act, lp.window)
             continue
         if lp.kind == "conv_int8":
             vals = act  # raw int8 image input, not in code domain
@@ -291,6 +301,26 @@ def forward_xla(config: NetworkConfig, decoded, x, *,
                 act = act.reshape(act.shape[0], -1)
             vals = codes_to_values(act, config.abits)
         if lp.kind in ("conv", "conv_int8"):
+            s2d = 0
+            if conv_mode == "s2d" and lp.stride == 1 and not lp.last:
+                c = lp.k // (lp.kernel * lp.kernel)
+                oh = vals.shape[1] - lp.kernel + 1
+                ow = vals.shape[2] - lp.kernel + 1
+                s2d = pick_s2d_block(c, lp.n, oh, ow, lp.kernel, lp.stride)
+            if s2d:
+                c = lp.k // (lp.kernel * lp.kernel)
+                w_hwio = p["w_hwio"] if "w_hwio" in p else \
+                    p["w_int8"].reshape(lp.kernel, lp.kernel, c, lp.n)
+                fuse = 0
+                if s2d == 2 and li + 1 < len(plan) and \
+                        plan[li + 1].kind == "pool" and \
+                        plan[li + 1].window == 2 and \
+                        oh % 2 == 0 and ow % 2 == 0:
+                    fuse = 2
+                act = conv_s2d(vals, jnp.asarray(w_hwio), thr,
+                               s=s2d, fuse_pool=fuse)
+                skip_pool = bool(fuse)
+                continue
             if conv_mode == "native":
                 c = lp.k // (lp.kernel * lp.kernel)
                 w_hwio = p["w_hwio"] if "w_hwio" in p else \

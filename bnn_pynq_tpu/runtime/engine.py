@@ -73,7 +73,7 @@ class InferenceEngine:
         self.out_scale = jnp.asarray(compiled.out_scale)
         self.out_bias = jnp.asarray(compiled.out_bias)
 
-        use_xla_route = route in ("xla", "xlaconv", "direct", "mega") and \
+        use_xla_route = route in ("xla", "xlaconv", "s2d", "direct", "mega") and \
             runtime != "ref"
         use_direct = route == "direct" and runtime != "ref"
         use_mega = route == "mega" and runtime != "ref"
@@ -119,8 +119,8 @@ class InferenceEngine:
                 elif use_xla_route:
                     acc = forward_xla(
                         self.config, params, x,
-                        conv_mode="native" if route == "xlaconv"
-                        else "patches")
+                        conv_mode={"xlaconv": "native", "s2d": "s2d"}
+                        .get(route, "patches"))
                 else:
                     acc = forward(self.config, params, x, impl=impl,
                                   route=route, interpret=interpret)
@@ -141,7 +141,7 @@ class InferenceEngine:
                              "engine for a different network")
         new_params = [{k: jnp.asarray(v) for k, v in layer.items()}
                       for layer in compiled.layers]
-        if self.route in ("xla", "xlaconv", "direct", "mega", "fused") and \
+        if self.route in ("xla", "xlaconv", "s2d", "direct", "mega", "fused") and \
                 self.runtime != "ref":
             new_params = decode_params(self.config, new_params)
         if self.route == "fused":
