@@ -260,6 +260,23 @@ def _conv_bf16_exact(vals_int8, w_hwio_int8, stride: int):
     return acc.astype(jnp.int32)
 
 
+# s2d route tuning knobs (A/B'd on hardware by tools/s2d_tune.py;
+# defaults = best measured config). Module-level so profiling tools can
+# flip them without threading arguments through the engine.
+S2D_TUNING = {
+    "int4_min_m": 0,         # cast dots to int4 when M ≥ this (0 = never;
+                             # +21% standalone but -17% in context — the
+                             # cast passes cost more than the MXU saves)
+    "reblock": False,        # s=4→2 single-transpose reblock measured
+                             # SLOWER than dephase + to_blocked (XLA
+                             # handles the pair better than the 8-d
+                             # transpose)
+    "chain": True,           # feed phase output straight into the next
+                             # same-s s2d conv (measured best: 2.403 ms
+                             # vs 2.447 dephase-between, batch 1024)
+}
+
+
 def forward_xla(config: NetworkConfig, decoded, x, *,
                 conv_mode: str = "patches"):
     """Decoded-integer route: XLA int8 convs/matmuls (MXU) with integer
@@ -272,11 +289,13 @@ def forward_xla(config: NetworkConfig, decoded, x, *,
     'native' — conv via the bf16 MXU conv path (`_conv_bf16_exact`),
     still integer-exact but without materializing K²-duplicated patches.
     's2d' — space-to-depth reformulation per layer where it pays
-    (ops/conv_s2d.py): K×4s²/K², N×s² dot shapes + pool-as-phase-max;
-    bit-exact with 'patches', ~2.3× faster end-to-end on CNV (measured
-    r3, perf_results/).
+    (ops/conv_s2d.py): (2s)²C × s²N dot shapes, pool-as-phase-max, and
+    the activation stays in phase layout across consecutive s2d layers
+    (zero relayout transposes on CNV); bit-exact with 'patches'.
     """
-    from bnn_pynq_tpu.ops.conv_s2d import conv_s2d, pick_s2d_block
+    from bnn_pynq_tpu.ops.conv_s2d import (BlockedAct, conv_s2d_blocked,
+                                           dephase, phase_maxpool,
+                                           pick_s2d_block, reblock)
 
     plan = make_plan(config)
     if config.input_kind == "bipolar":
@@ -288,6 +307,22 @@ def forward_xla(config: NetworkConfig, decoded, x, *,
     skip_pool = False
     for li, (lp, p) in enumerate(zip(plan, decoded)):
         thr = None if lp.last else p.get("thr")
+        # choose the s2d block size for eligible convs up front, so a
+        # blocked activation can chain without ever de-phasing
+        s2d = 0
+        if lp.kind in ("conv", "conv_int8") and conv_mode == "s2d" and \
+                lp.stride == 1 and not lp.last:
+            c = lp.k // (lp.kernel * lp.kernel)
+            h_in = act.oh if isinstance(act, BlockedAct) else act.shape[1]
+            w_in = act.ow if isinstance(act, BlockedAct) else act.shape[2]
+            oh, ow = h_in - lp.kernel + 1, w_in - lp.kernel + 1
+            s2d = pick_s2d_block(c, lp.n, oh, ow, lp.kernel, lp.stride)
+        if isinstance(act, BlockedAct) and s2d and act.s != s2d and \
+                act.s % s2d == 0 and S2D_TUNING["reblock"]:
+            act = reblock(act, s2d)      # one transpose, stays in phase
+        if isinstance(act, BlockedAct) and not (
+                s2d and act.s == s2d and S2D_TUNING["chain"]):
+            act = dephase(act)
         if lp.kind == "pool":
             if skip_pool:
                 skip_pool = False
@@ -297,29 +332,38 @@ def forward_xla(config: NetworkConfig, decoded, x, *,
         if lp.kind == "conv_int8":
             vals = act  # raw int8 image input, not in code domain
         else:
-            if act.ndim > 2 and lp.kind == "dense":
-                act = act.reshape(act.shape[0], -1)
-            vals = codes_to_values(act, config.abits)
+            if isinstance(act, BlockedAct):
+                vals = BlockedAct(codes_to_values(act.codes, config.abits),
+                                  act.s, act.oh, act.ow)
+            else:
+                if act.ndim > 2 and lp.kind == "dense":
+                    act = act.reshape(act.shape[0], -1)
+                vals = codes_to_values(act, config.abits)
         if lp.kind in ("conv", "conv_int8"):
-            s2d = 0
-            if conv_mode == "s2d" and lp.stride == 1 and not lp.last:
-                c = lp.k // (lp.kernel * lp.kernel)
-                oh = vals.shape[1] - lp.kernel + 1
-                ow = vals.shape[2] - lp.kernel + 1
-                s2d = pick_s2d_block(c, lp.n, oh, ow, lp.kernel, lp.stride)
             if s2d:
                 c = lp.k // (lp.kernel * lp.kernel)
                 w_hwio = p["w_hwio"] if "w_hwio" in p else \
                     p["w_int8"].reshape(lp.kernel, lp.kernel, c, lp.n)
-                fuse = 0
+                # int4 MXU cast is exact for |levels| ≤ 3 (all non-image
+                # layers) and wins only once M is large enough to
+                # amortize the cast passes (measured: +21% at conv2's
+                # M≈200k, a loss at M≤65k — perf_results/conv_probe)
+                m_rows = x.shape[0] * (oh // s2d + 1) * (ow // s2d + 1)
+                min_m = S2D_TUNING["int4_min_m"]
+                use_int4 = (min_m and m_rows >= min_m
+                            and lp.kind != "conv_int8"
+                            and jax.default_backend() != "cpu")
+                ba = conv_s2d_blocked(
+                    vals, jnp.asarray(w_hwio), thr, s=s2d,
+                    acc_dtype=jnp.int4 if use_int4 else None)
                 if s2d == 2 and li + 1 < len(plan) and \
                         plan[li + 1].kind == "pool" and \
                         plan[li + 1].window == 2 and \
-                        oh % 2 == 0 and ow % 2 == 0:
-                    fuse = 2
-                act = conv_s2d(vals, jnp.asarray(w_hwio), thr,
-                               s=s2d, fuse_pool=fuse)
-                skip_pool = bool(fuse)
+                        ba.oh % 2 == 0 and ba.ow % 2 == 0:
+                    act = phase_maxpool(ba)
+                    skip_pool = True
+                else:
+                    act = ba
                 continue
             if conv_mode == "native":
                 c = lp.k // (lp.kernel * lp.kernel)
@@ -337,6 +381,8 @@ def forward_xla(config: NetworkConfig, decoded, x, *,
         else:
             acc = ref.int_matmul_ref(vals, p["w_int8"])
         act = acc if lp.last else multithreshold(acc, thr)
+    if isinstance(act, BlockedAct):   # network ending mid-phase (defensive)
+        act = dephase(act)
     return act
 
 

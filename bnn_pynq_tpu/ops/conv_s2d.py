@@ -8,30 +8,46 @@ im2col shapes are terrible for the MXU — conv1 (K=27, N=64) runs at
 problem (folding small matrices onto PE×SIMD arrays, SURVEY.md C1/C9);
 its fix was per-layer folding configs, ours is per-layer reshaping.
 
-Trick: block the image s×s (space-to-depth). A K×K stride-1 VALID conv
-becomes a 2×2 conv over s²C channels producing s² output phases per
-block — one dot with contraction 4s²C and width s²N instead of K²C × N:
+Trick: view the image in s×s blocks. A K×K stride-1 VALID conv becomes
+a 2×2-superblock conv producing s² output phases per block — one dot
+with contraction (2s)²C and width s²N instead of K²C × N:
 
-    conv1 (s=4):  K 27   → 192,  N 64 → 1024   (measured ~19× faster)
+    conv1 (s=2):  K 27   → 48,   N 64 → 256
     conv2 (s=2):  K 576  → 1024, N 64 → 256
-    conv3/4 (s=2): K → 4C·4,     N 128 → 512
+    conv3/4 (s=2): K 576/1152 → 1024/2048, N 128 → 512
 
-MAC overcompute is 4s²/K² (1.78× at s=2, K=3) but the rate gain is
-3-10×, and two structural wins come free:
+Three structural wins beyond the dot shape:
+- **phase chaining**: a s-layer's phase output [B, nb, nb, s²N] IS the
+  next s-layer's blocked input (`blocked_weights` consumes it via a
+  plain 2×2 window) — consecutive s2d convs chain with no relayout at
+  all, and a s=4 layer feeds a s=2 layer through ONE transpose
+  (`reblock`) instead of a dephase + to_blocked pair. (A
+  sliding_window(2s,2s,stride=s) formulation straight from spatial
+  layout was measured and rejected: (2s)² strided slices compile
+  pathologically and run slower than to_blocked + 2×2 window.)
 - a following 2×2 maxpool collapses to a max over the s=2 phase dims
-  (pool windows coincide exactly with blocks) — zero relayout, and the
-  binary OR-maxpool of the reference (SURVEY.md C6) becomes a 4-way
-  VPU max;
-- patch materialization shrinks (each input element is duplicated 4×
-  instead of K²=9×).
+  (pool windows coincide exactly with blocks): the reference's binary
+  OR-maxpool (SURVEY.md C6) becomes a 4-way VPU max and re-spatializes
+  the activation for free;
+- patch duplication drops from K²=9× to (2s/s)²=4×.
 
-Everything is integer-exact: the phase weight matrix is the original
-kernel zero-padded into block-aligned slots, so accumulators see the
-same products plus zeros. Bit-exactness vs the im2col route is tested
-in tests/test_conv_s2d.py.
+MAC overcompute is (2s)²/K² (1.78× at s=2, K=3); the measured rate gain
+is 3-10× on the narrow layers. Everything is integer-exact: the phase
+weight matrix is the original kernel zero-padded into phase-aligned
+slots, so accumulators see the same products plus zeros. Bit-exactness
+vs the im2col route is tested in tests/test_conv_s2d.py.
+
+Garbage-phase discipline (the pitch trick of ops/conv_stack.py, here in
+block form): spatial extents are padded up to whole blocks with zeros
+and the last block may contain phase rows ≥ OH; a chained conv's valid
+outputs only ever read valid inputs (output spatial r needs inputs
+≤ r+K-1 < OH_prev), so block garbage propagates only into block garbage
+and is sliced exactly once, at de-phase/pool time.
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -40,90 +56,161 @@ from bnn_pynq_tpu.ops.conv import sliding_window
 from bnn_pynq_tpu.ops.thresholds import multithreshold
 
 
-def s2d_weights(w_hwio, s: int):
-    """Phase weight matrix: [K,K,C,N] → [4·s²·C, s²·N] (int8).
+class BlockedAct(NamedTuple):
+    """Phase-layout activation: codes [B, nb_h, nb_w, s²·C] covering the
+    logical spatial grid [oh, ow] (block (i,j) slot (pi,pj) = spatial
+    (s·i+pi, s·j+pj)); entries beyond oh/ow are garbage phases."""
+    codes: jax.Array
+    s: int
+    oh: int
+    ow: int
 
-    Row layout matches `sliding_window` on the blocked input: patch
-    lanes are (bi, bj, si, sj, c) for the 2×2 superkernel over s×s
-    blocks; output columns are (pi, pj, n) phases. Entry rule: output
-    phase (pi,pj) tap (ki,kj) reads input pixel (pi+ki, pj+kj) =
-    block (bi,bj), slot (si,sj) with bi,si = divmod(pi+ki, s)."""
+
+def blocked_weights(w_hwio, s: int):
+    """Phase weight matrix [K,K,C,N] → [4s²C, s²N]: rows ordered
+    (bi, bj, si, sj, c) over a 2×2 window of blocks whose lanes are
+    (si, sj, c) slots; columns are (pi, pj, n) output phases. Output
+    phase (pi,pj) tap (ka,kb) reads block bi, slot si with
+    bi,si = divmod(pi+ka, s) (and likewise for columns)."""
     k, k2, c, n = w_hwio.shape
     assert k == k2 and k <= s + 1, (k, s)
     wp = jnp.zeros((2, 2, s, s, c, s, s, n), dtype=w_hwio.dtype)
     for pi in range(s):
         for pj in range(s):
-            for ki in range(k):
-                for kj in range(k):
-                    bi, si = divmod(pi + ki, s)
-                    bj, sj = divmod(pj + kj, s)
+            for ka in range(k):
+                for kb in range(k):
+                    bi, si = divmod(pi + ka, s)
+                    bj, sj = divmod(pj + kb, s)
                     wp = wp.at[bi, bj, si, sj, :, pi, pj, :].set(
-                        w_hwio[ki, kj])
-    return wp.reshape(2 * 2 * s * s * c, s * s * n)
+                        w_hwio[ka, kb])
+    return wp.reshape(4 * s * s * c, s * s * n)
+
+
+def _phase_dot(patches, wmat, thr, s: int, n: int, acc_dtype=None):
+    b, gh, gw, kw = patches.shape
+    a2 = patches.reshape(b * gh * gw, kw)
+    if acc_dtype is not None:
+        a2 = a2.astype(acc_dtype)
+        wmat = wmat.astype(acc_dtype)
+    acc = jax.lax.dot_general(
+        a2, wmat,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc = acc.reshape(b, gh, gw, s * s * n)
+    if thr is None:
+        return acc
+    return multithreshold(acc, jnp.tile(thr, (1, s * s)))
+
+
+def to_blocked(x, s: int, nbh: int, nbw: int):
+    """Spatial [B, H, W, C] → blocked [B, nbh, nbw, s²C], zero-padding up
+    to whole blocks (padding feeds only garbage phases — see module
+    docstring). One int8 reshape-transpose; XLA fuses it into the
+    following patch concat."""
+    b, h, w, c = x.shape
+    hp, wp_ = nbh * s, nbw * s
+    if hp != h or wp_ != w:
+        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp_ - w), (0, 0)))
+    return x.reshape(b, nbh, s, nbw, s, c).transpose(
+        0, 1, 3, 2, 4, 5).reshape(b, nbh, nbw, s * s * c)
+
+
+def reblock(ba: BlockedAct, s_to: int):
+    """Re-block a phase activation to a smaller block size (s_from must
+    be a multiple of s_to) — a single transpose, replacing the
+    dephase + to_blocked pair when chaining mixed block sizes
+    (e.g. CNV's s=4 conv1 feeding the s=2 conv2)."""
+    s = ba.s
+    if s_to == s:
+        return ba
+    assert s % s_to == 0, (s, s_to)
+    r = s // s_to
+    b, nbh, nbw, sn = ba.codes.shape
+    n = sn // (s * s)
+    x = ba.codes.reshape(b, nbh, nbw, r, s_to, r, s_to, n)
+    x = x.transpose(0, 1, 3, 2, 5, 4, 6, 7)            # [b,nbh,r,nbw,r,...]
+    x = x.reshape(b, nbh * r, nbw * r, s_to * s_to * n)
+    return BlockedAct(x, s_to, ba.oh, ba.ow)
+
+
+def conv_s2d_blocked(act, w_hwio, thr, *, s: int, acc_dtype=None):
+    """One K×K stride-1 VALID conv in phase space.
+
+    act: int8 LEVELS — spatial [B, H, W, C], or a BlockedAct whose
+      `codes` field already holds levels (caller decodes codes→levels).
+    acc_dtype: cast dot operands to this dtype first (e.g. jnp.int4 —
+      exact for |levels| ≤ 7, measured ~20% faster at the conv2 shape).
+    Returns BlockedAct (codes when thr given, int32 acc when thr=None).
+    """
+    k, _, _, n = w_hwio.shape
+    if isinstance(act, BlockedAct):
+        assert act.s == s
+        vals, (h, w) = act.codes, (act.oh, act.ow)
+        oh, ow = h - k + 1, w - k + 1
+        need_h, need_w = -(-oh // s) + 1, -(-ow // s) + 1
+        b, nbh, nbw, _ = vals.shape
+        if nbh < need_h or nbw < need_w:   # zero blocks: garbage-safe
+            vals = jnp.pad(vals, ((0, 0), (0, max(0, need_h - nbh)),
+                                  (0, max(0, need_w - nbw)), (0, 0)))
+    else:
+        b, h, w, c = act.shape
+        oh, ow = h - k + 1, w - k + 1
+        nbh, nbw = -(-oh // s) + 1, -(-ow // s) + 1
+        vals = to_blocked(act, s, nbh, nbw)
+    patches = sliding_window(vals, 2, 2, 1)
+    wmat = blocked_weights(w_hwio, s)
+    out = _phase_dot(patches, wmat, thr, s, n, acc_dtype=acc_dtype)
+    return BlockedAct(out, s, oh, ow)
+
+
+def phase_maxpool(ba: BlockedAct):
+    """2×2 maxpool of a s=2 BlockedAct as a phase-max (pool windows
+    coincide exactly with blocks) — returns SPATIAL codes
+    [B, oh/2, ow/2, N]. Codes are monotone in accumulators, so code-max
+    ≡ value-max (binary case: the reference's OR maxpool, SURVEY C6)."""
+    assert ba.s == 2 and ba.oh % 2 == 0 and ba.ow % 2 == 0, \
+        (ba.s, ba.oh, ba.ow)
+    b, nbh, nbw, sn = ba.codes.shape
+    n = sn // 4
+    codes = ba.codes.reshape(b, nbh, nbw, 4, n)
+    return jnp.max(codes, axis=3)[:, :ba.oh // 2, :ba.ow // 2]
+
+
+def dephase(ba: BlockedAct):
+    """Blocked → spatial [B, oh, ow, N] (one int8 transpose — only
+    needed when a s2d layer feeds a non-s2d consumer)."""
+    b, nbh, nbw, sn = ba.codes.shape
+    s = ba.s
+    n = sn // (s * s)
+    x = ba.codes.reshape(b, nbh, nbw, s, s, n).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, nbh * s, nbw * s, n)[:, :ba.oh, :ba.ow]
 
 
 def conv_s2d(vals, w_hwio, thr, *, s: int, fuse_pool: int = 0):
-    """K×K stride-1 VALID conv on int8 levels via s×s space-to-depth.
-
-    vals: int8 [B, H, W, C] integer levels.
-    w_hwio: int8 [K, K, C, N] integer levels, K ≤ s+1.
-    thr: int32 [nthr, N] thresholds, or None → raw int32 accumulators.
-    fuse_pool: 2 → also apply the following 2×2 maxpool as a phase-max
-      (requires s=2, thr given, and even output extents).
-
-    Returns int8 codes [B, OH, OW, N] (or [B, OH/2, OW/2, N] when
-    pooling is fused; or int32 acc [B, OH, OW, N] when thr is None).
-    """
-    b, h, w, c = vals.shape
-    k, _, _, n = w_hwio.shape
-    oh, ow = h - k + 1, w - k + 1
-    nbh, nbw = -(-oh // s) + 1, -(-ow // s) + 1
-    hp, wp_ = nbh * s, nbw * s
+    """Single-layer convenience wrapper: spatial in → spatial out.
+    fuse_pool=2 applies the following 2×2 maxpool as a phase-max
+    (requires s=2, thresholds, even output extents)."""
+    ba = conv_s2d_blocked(vals, w_hwio, thr, s=s)
     if fuse_pool:
-        if fuse_pool != 2 or s != 2 or thr is None or oh % 2 or ow % 2:
+        if fuse_pool != 2 or s != 2 or thr is None or \
+                ba.oh % 2 or ba.ow % 2:
             raise ValueError("fuse_pool=2 needs s=2, thresholds, and even "
-                             f"output extents, got s={s} oh={oh} ow={ow}")
-    # zero-pad to whole blocks: padded pixels only feed output rows/cols
-    # ≥ OH/OW (garbage phases), which are sliced off below.
-    if hp != h or wp_ != w:
-        vals = jnp.pad(vals, ((0, 0), (0, hp - h), (0, wp_ - w), (0, 0)))
-    s2d = vals.reshape(b, nbh, s, nbw, s, c).transpose(
-        0, 1, 3, 2, 4, 5).reshape(b, nbh, nbw, s * s * c)
-    patches = sliding_window(s2d, 2, 2, 1)
-    m = b * (nbh - 1) * (nbw - 1)
-    acc = jax.lax.dot_general(
-        patches.reshape(m, 4 * s * s * c), s2d_weights(w_hwio, s),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    if thr is None:
-        acc = acc.reshape(b, nbh - 1, nbw - 1, s, s, n).transpose(
-            0, 1, 3, 2, 4, 5).reshape(b, (nbh - 1) * s, (nbw - 1) * s, n)
-        return acc[:, :oh, :ow]
-    codes = multithreshold(acc, jnp.tile(thr, (1, s * s)))
-    codes = codes.reshape(b, nbh - 1, nbw - 1, s, s, n)
-    if fuse_pool:
-        # 2×2 maxpool windows coincide exactly with the s=2 phase blocks:
-        # pooled (r,q) = max over block (r,q)'s four phases. Codes are
-        # monotone in accumulators, so code-max ≡ value-max (the binary
-        # case is the reference's OR maxpool, SURVEY.md C6).
-        return jnp.max(codes, axis=(3, 4))[:, :oh // 2, :ow // 2]
-    codes = codes.transpose(0, 1, 3, 2, 4, 5).reshape(
-        b, (nbh - 1) * s, (nbw - 1) * s, n)
-    return codes[:, :oh, :ow]
+                             f"output extents, got s={s} oh={ba.oh} "
+                             f"ow={ba.ow}")
+        return phase_maxpool(ba)
+    return dephase(ba)
 
 
 def pick_s2d_block(c_in: int, n_out: int, oh: int, ow: int,
                    kernel: int, stride: int):
     """Per-layer policy: return the s2d block size, or 0 for im2col.
 
-    Measured basis (perf_results/conv_probe.jsonl, v5e): dots with
-    K ≥ ~512 AND N ≥ ~256 run near the big-matmul rate; narrower ones
-    fall off a cliff. s2d multiplies K by 4s²/K² and N by s² at a
-    4s²/K² MAC overhead, so it pays exactly when the native shape is
-    narrow (early convs) and stops paying once N ≥ 256 (late convs,
-    already ≥190 TOPS) or the grid is too small to amortize phases."""
+    Measured basis (perf_results/{layerprof,conv_probe}.jsonl, v5e):
+    dots with K ≥ ~512 AND N ≥ ~256 run near the big-matmul rate;
+    narrower ones fall off a cliff. s2d multiplies K by (2s)²/K² and N
+    by s² at the same MAC overhead, so it pays exactly when the native
+    shape is narrow (early convs) and stops paying once N ≥ 256 (late
+    convs, already ≥190 TOPS) or the grid is too small to amortize."""
     if stride != 1 or kernel > 3 or min(oh, ow) < 8 or n_out > 128:
         return 0
-    if c_in < 32:
-        return 4 if min(oh, ow) >= 24 else 2
-    return 2
+    return 4 if c_in < 32 else 2

@@ -146,18 +146,21 @@ def verify(compiled, route, batch=16):
 # (see `floor_ms`) dominates any smaller launch: LFC@4096 is ~60 µs of
 # kernel under ~600 µs of floor.
 CASES = [
+    ("cnv-w1a1", "s2d", 1024), ("cnv-w1a1", "s2d", 2048),
     ("cnv-w1a1", "xla", 1024), ("cnv-w1a1", "xla", 2048),
     ("cnv-w1a1", "xla", 4096),
     ("cnv-w1a1", "mega", 1024), ("cnv-w1a1", "direct", 1024),
     ("cnv-w1a1", "mxu", 1024), ("cnv-w1a1", "vpu", 1024),
-    ("cnv-w2a2", "xla", 1024), ("cnv-w2a2", "mega", 1024),
+    ("cnv-w2a2", "xla", 1024), ("cnv-w2a2", "s2d", 1024),
+    ("cnv-w2a2", "mega", 1024),
     ("lfc-w1a1", "xla", 4096), ("lfc-w1a1", "fused", 4096),
     ("lfc-w1a1", "mxu", 4096),
     ("lfc-w1a1", "xla", 32768), ("lfc-w1a1", "fused", 32768),
     ("sfc-w1a1", "fused", 8192), ("sfc-w1a1", "xla", 8192),
     ("sfc-w1a1", "fused", 65536), ("sfc-w1a1", "xla", 65536),
     # batch-1 latency points
-    ("cnv-w1a1", "xla", 1), ("cnv-w1a1", "mega", 1),
+    ("cnv-w1a1", "xla", 1), ("cnv-w1a1", "s2d", 1),
+    ("cnv-w1a1", "mega", 1),
     ("sfc-w1a1", "fused", 1), ("sfc-w1a1", "xla", 1),
     ("lfc-w1a1", "fused", 1), ("lfc-w1a1", "xla", 1),
 ]
