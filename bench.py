@@ -19,9 +19,10 @@ import time
 
 BASELINE_IMAGES_PER_SEC = 21_900.0
 INNER_TIMEOUT_S = int(os.environ.get("BENCH_TIMEOUT_S", "1500"))
-# The winning route per tools/tpu_perf_suite.py + tools/stage_prof.py
-# measurements (perf_results/); override with BENCH_ROUTE for A/B runs.
-DEFAULT_ROUTE = os.environ.get("BENCH_ROUTE", "xla")
+# The winning route per tools/tpu_perf_suite.py + tools/prefix_prof.py
+# measurements (perf_results/, docs/dot_rate_model.md); override with
+# BENCH_ROUTE for A/B runs.
+DEFAULT_ROUTE = os.environ.get("BENCH_ROUTE", "s2d")
 DEFAULT_BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
 
 

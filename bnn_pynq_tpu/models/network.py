@@ -311,7 +311,7 @@ def forward_xla(config: NetworkConfig, decoded, x, *,
         # blocked activation can chain without ever de-phasing
         s2d = 0
         if lp.kind in ("conv", "conv_int8") and conv_mode == "s2d" and \
-                lp.stride == 1 and not lp.last:
+                lp.stride == 1:
             c = lp.k // (lp.kernel * lp.kernel)
             h_in = act.oh if isinstance(act, BlockedAct) else act.shape[1]
             w_in = act.ow if isinstance(act, BlockedAct) else act.shape[2]
@@ -356,7 +356,8 @@ def forward_xla(config: NetworkConfig, decoded, x, *,
                 ba = conv_s2d_blocked(
                     vals, jnp.asarray(w_hwio), thr, s=s2d,
                     acc_dtype=jnp.int4 if use_int4 else None)
-                if s2d == 2 and li + 1 < len(plan) and \
+                if s2d == 2 and thr is not None and \
+                        li + 1 < len(plan) and \
                         plan[li + 1].kind == "pool" and \
                         plan[li + 1].window == 2 and \
                         ba.oh % 2 == 0 and ba.ow % 2 == 0:

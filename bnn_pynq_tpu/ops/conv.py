@@ -100,7 +100,7 @@ def maxpool2d(codes, window: int = 2):
     codes = jnp.asarray(codes)
     return jax.lax.reduce_window(
         codes,
-        init_value=jnp.int8(-128),
+        init_value=jnp.asarray(jnp.iinfo(codes.dtype).min, codes.dtype),
         computation=jax.lax.max,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, window, window, 1),

@@ -1,0 +1,109 @@
+"""Route-generic per-layer profile by CONFIG TRUNCATION — the committed
+per-layer evidence VERDICT r2 ask #1 demands, for any route.
+
+utils/layerprof.py builds prefixes from the decoded-xla ops only; this
+tool instead truncates the NetworkConfig itself (layers[:i]) and runs
+the production forward for the chosen route on each truncated network,
+so routes with cross-layer structure (s2d phase chaining, mega) are
+profiled as they actually execute. Prefix differencing with chained
+launches and a scalar checksum — the axon-tunnel-safe methodology.
+
+Caveat: the truncated last layer skips its threshold (it becomes the
+"logits" layer), so each differenced entry under-counts by one
+threshold epilogue — a few % at most, and identical across routes.
+
+    python tools/prefix_prof.py --net cnv-w1a1 --route s2d --batch 1024
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def chain_time(launch, iters, repeats=4):
+    out = launch()
+    np.asarray(out)
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        outs = [launch() for _ in range(iters)]
+        np.asarray(outs[-1])
+        ts.append((time.perf_counter() - t0) / iters)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--net", default="cnv-w1a1")
+    ap.add_argument("--route", default="s2d",
+                    choices=["s2d", "xla", "patches"])
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=40)
+    ap.add_argument("--out", default="perf_results/prefix_prof.jsonl")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from bnn_pynq_tpu.models import get_config
+    from bnn_pynq_tpu.models.network import (decode_params, forward_xla,
+                                             init_random_params, make_plan)
+
+    cfg = get_config(args.net)
+    params = [{k: jnp.asarray(v) for k, v in l.items()}
+              for l in init_random_params(cfg, seed=0)]
+    decoded = decode_params(cfg, params)
+    rng = np.random.default_rng(0)
+    if cfg.input_kind == "bipolar":
+        x = jnp.asarray(rng.choice(
+            [-1, 1], size=(args.batch, int(np.prod(cfg.input_shape))))
+            .astype(np.int8))
+    else:
+        x = jnp.asarray(rng.integers(
+            -128, 128, size=(args.batch,) + cfg.input_shape).astype(np.int8))
+    conv_mode = {"s2d": "s2d", "xla": "patches",
+                 "patches": "patches"}[args.route]
+
+    plan = make_plan(cfg)
+    times = [0.0]
+    t_start = time.time()
+    for i in range(1, len(cfg.layers) + 1):
+        sub = dataclasses.replace(cfg, layers=cfg.layers[:i])
+
+        def fwd(a, sub=sub, i=i):
+            out = forward_xla(sub, decoded[:i], a, conv_mode=conv_mode)
+            return jnp.sum(jnp.asarray(out).astype(jnp.int32))
+        pf = jax.jit(fwd)
+        times.append(chain_time(lambda: pf(x), args.iters))
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    rows = []
+    with open(args.out, "a") as f:
+        for li, lp in enumerate(plan):
+            dt = max(0.0, times[li + 1] - times[li])
+            row = {"net": args.net, "route": args.route, "batch": args.batch,
+                   "layer": li, "kind": lp.kind, "k": lp.k, "n": lp.n,
+                   "ms": round(dt * 1e3, 3)}
+            line = json.dumps(row)
+            print(line, flush=True)
+            f.write(line + "\n")
+            rows.append(row)
+        total = times[-1]
+        summ = {"net": args.net, "route": args.route, "batch": args.batch,
+                "layer": "__total__", "ms": round(total * 1e3, 3),
+                "images_per_sec": round(args.batch / total, 1),
+                "wall_s": round(time.time() - t_start, 1)}
+        line = json.dumps(summ)
+        print(line, flush=True)
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
