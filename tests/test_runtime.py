@@ -190,3 +190,18 @@ def test_batching_server_concurrent_clients(cnv_engine):
         server.stop()
     got = np.array([results[i] for i in range(24)])
     np.testing.assert_array_equal(got, expected)
+
+
+def test_engine_s2d_route_matches_ref():
+    """route='s2d' through the full engine (compile_network artifacts,
+    trained-stats thresholds) is bit-identical to the golden ref
+    runtime — the engine-level twin check for the round-3 conv route."""
+    cfg = mini_cnv(1, 1)
+    _, params, stats = init_perturbed(cfg, seed=21)
+    compiled = compile_network(cfg, params, stats)
+    rng = np.random.default_rng(9)
+    imgs = rng.integers(0, 256, size=(5,) + cfg.input_shape).astype(np.uint8)
+    ref = InferenceEngine(compiled, runtime="ref").logits(imgs)
+    s2d = InferenceEngine(compiled, runtime="interpret",
+                          route="s2d").logits(imgs)
+    np.testing.assert_allclose(s2d, ref, atol=1e-4)
