@@ -298,7 +298,7 @@ def main(argv=None):
     cl.add_argument("artifact")
     cl.add_argument("images")
     cl.add_argument("--runtime", default="auto")
-    cl.add_argument("--route", default="xla")
+    cl.add_argument("--route", default="s2d")
     cl.set_defaults(fn=cmd_classify)
 
     b = sub.add_parser("bench", help="throughput benchmark")
@@ -306,14 +306,14 @@ def main(argv=None):
     b.add_argument("--batch", type=int, default=1024)
     b.add_argument("--iters", type=int, default=20)
     b.add_argument("--runtime", default="auto")
-    b.add_argument("--route", default="xla")
+    b.add_argument("--route", default="s2d")
     b.set_defaults(fn=cmd_bench)
 
     e = sub.add_parser("eval", help="test-set accuracy of an artifact")
     e.add_argument("artifact")
     e.add_argument("--batch", type=int, default=1024)
     e.add_argument("--runtime", default="auto")
-    e.add_argument("--route", default="xla")
+    e.add_argument("--route", default="s2d")
     e.add_argument("--gate", action="store_true",
                    help="fail (exit 1) if real-data accuracy drops >0.1% "
                         "below the reference table")
@@ -340,7 +340,7 @@ def main(argv=None):
     ga.add_argument("--batch", type=int, default=1024)
     ga.add_argument("--seed", type=int, default=0)
     ga.add_argument("--runtime", default="auto")
-    ga.add_argument("--route", default="xla")
+    ga.add_argument("--route", default="s2d")
     ga.set_defaults(fn=cmd_gate_all)
 
     s = sub.add_parser("serve", help="HTTP classification server")
