@@ -251,7 +251,7 @@ def cmd_gate_all(args):
 def cmd_serve(args):
     from bnn_pynq_tpu.runtime.http_server import serve
     serve(args.artifact, host=args.host, port=args.port,
-          runtime=args.runtime)
+          runtime=args.runtime, route=args.route)
 
 
 def cmd_info(args):
@@ -348,6 +348,7 @@ def main(argv=None):
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8476)
     s.add_argument("--runtime", default="auto")
+    s.add_argument("--route", default="s2d")
     s.set_defaults(fn=cmd_serve)
 
     i = sub.add_parser("info", help="list networks / show a network plan")

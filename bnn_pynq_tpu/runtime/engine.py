@@ -49,10 +49,11 @@ class InferenceEngine:
     """Loads a CompiledNetwork and serves classifications."""
 
     def __init__(self, compiled: CompiledNetwork, runtime: str = "auto",
-                 route: str = "xla",
+                 route: str = "s2d",
                  batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS):
-        """route: 'xla' (decoded-integer MXU convs/matmuls, the fastest
-        path measured on v5e), 'mxu' or 'vpu' (packed Pallas kernels)."""
+        """route: 's2d' (decoded-integer MXU path with space-to-depth
+        convs — fastest measured, docs/dot_rate_model.md), 'xla'
+        (im2col convs), 'mxu'/'vpu' (packed Pallas kernels)."""
         self.compiled = compiled
         self.config: NetworkConfig = compiled.config
         if runtime == "auto":

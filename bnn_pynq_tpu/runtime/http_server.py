@@ -88,8 +88,8 @@ def make_handler(classifier: Classifier, server: BatchingServer):
 
 
 def serve(artifact: str, host: str = "127.0.0.1", port: int = 8476,
-          runtime: str = "auto", block: bool = True):
-    clf = Classifier.from_artifact(artifact, runtime=runtime)
+          runtime: str = "auto", route: str = "s2d", block: bool = True):
+    clf = Classifier.from_artifact(artifact, runtime=runtime, route=route)
     batcher = BatchingServer(clf.engine, max_batch=256, max_wait_ms=3.0)
     httpd = ThreadingHTTPServer((host, port),
                                 make_handler(clf, batcher))
