@@ -278,7 +278,7 @@ S2D_TUNING = {
 
 
 def forward_xla(config: NetworkConfig, decoded, x, *,
-                conv_mode: str = "patches"):
+                conv_mode: str = "patches", force_thresholds: bool = False):
     """Decoded-integer route: XLA int8 convs/matmuls (MXU) with integer
     MultiThreshold epilogues fused by XLA. Bit-exact with the packed
     Pallas route (same integer math, different storage).
@@ -306,7 +306,11 @@ def forward_xla(config: NetworkConfig, decoded, x, *,
 
     skip_pool = False
     for li, (lp, p) in enumerate(zip(plan, decoded)):
-        thr = None if lp.last else p.get("thr")
+        # force_thresholds: profiling aid (tools/prefix_prof.py) — apply
+        # the threshold on a truncated network's last layer too, so a
+        # prefix ends in cheap int8 codes (not a 4x-wide int32 dephase)
+        # and differencing attributes costs like the full program.
+        thr = p.get("thr") if force_thresholds else             (None if lp.last else p.get("thr"))
         # choose the s2d block size for eligible convs up front, so a
         # blocked activation can chain without ever de-phasing
         s2d = 0

@@ -8,9 +8,10 @@ so routes with cross-layer structure (s2d phase chaining, mega) are
 profiled as they actually execute. Prefix differencing with chained
 launches and a scalar checksum — the axon-tunnel-safe methodology.
 
-Caveat: the truncated last layer skips its threshold (it becomes the
-"logits" layer), so each differenced entry under-counts by one
-threshold epilogue — a few % at most, and identical across routes.
+Truncated prefixes run with force_thresholds=True so a prefix ends in
+int8 codes exactly as the full program does mid-network (without it, a
+truncated s2d conv ends in an int32 phase de-interleave 4x the bytes of
+anything the real network runs, corrupting the differencing).
 
     python tools/prefix_prof.py --net cnv-w1a1 --route s2d --batch 1024
 """
@@ -78,7 +79,8 @@ def main():
         sub = dataclasses.replace(cfg, layers=cfg.layers[:i])
 
         def fwd(a, sub=sub, i=i):
-            out = forward_xla(sub, decoded[:i], a, conv_mode=conv_mode)
+            out = forward_xla(sub, decoded[:i], a, conv_mode=conv_mode,
+                              force_thresholds=(i < len(cfg.layers)))
             return jnp.sum(jnp.asarray(out).astype(jnp.int32))
         pf = jax.jit(fwd)
         times.append(chain_time(lambda: pf(x), args.iters))
