@@ -28,6 +28,9 @@ from bnn_pynq_tpu.models.network import decode_params, forward, forward_xla
 from bnn_pynq_tpu.ops.matmul import on_tpu
 
 DEFAULT_BATCH_BUCKETS = (1, 16, 64, 256, 1024)
+# conv-net forward chunk size inside one jitted program (see _fn):
+# measured fastest dot shapes sit at M ≈ 200k patch rows ≈ 1024 images
+MICROBATCH = 1024
 
 
 def prepare_host(config: NetworkConfig, x: np.ndarray) -> np.ndarray:
@@ -107,24 +110,45 @@ class InferenceEngine:
                     codes, weights, thrs, out_scale, out_bias,
                     abits=abits, interpret=interpret)
         else:
+            from bnn_pynq_tpu.models.config import ConvSpec
+            has_convs = any(isinstance(sp, ConvSpec)
+                            for sp in self.config.layers)
+
             @partial(jax.jit, static_argnums=())
             def _fn(params, out_scale, out_bias, x):
                 if use_mega:
                     from bnn_pynq_tpu.models.network import forward_mega
                     return forward_mega(self.config, params, x, out_scale,
                                         out_bias, interpret=interpret)
-                if use_direct:
-                    from bnn_pynq_tpu.models.network import forward_direct
-                    acc = forward_direct(self.config, params, x,
-                                         interpret=interpret)
-                elif use_xla_route:
-                    acc = forward_xla(
-                        self.config, params, x,
-                        conv_mode={"xlaconv": "native", "s2d": "s2d"}
-                        .get(route, "patches"))
+
+                def fwd(xc):
+                    if use_direct:
+                        from bnn_pynq_tpu.models.network import forward_direct
+                        return forward_direct(self.config, params, xc,
+                                              interpret=interpret)
+                    if use_xla_route:
+                        return forward_xla(
+                            self.config, params, xc,
+                            conv_mode={"xlaconv": "native", "s2d": "s2d"}
+                            .get(route, "patches"))
+                    return forward(self.config, params, xc, impl=impl,
+                                   route=route, interpret=interpret)
+
+                # Conv nets degrade super-linearly past M ≈ 200k patch
+                # rows (measured: batch 2048 ran at 355k img/s straight
+                # vs 468k microbatched, batch 4096 at 501k — r3,
+                # perf_results/). lax.map over 1024-image chunks keeps
+                # every dot at its measured-fastest shape. MLPs are the
+                # opposite (big batches amortize), so they never chunk.
+                b = x.shape[0]
+                if has_convs and use_xla_route and b > MICROBATCH and \
+                        b % MICROBATCH == 0:
+                    acc = jax.lax.map(
+                        fwd, x.reshape((b // MICROBATCH, MICROBATCH)
+                                       + x.shape[1:]))
+                    acc = acc.reshape((b,) + acc.shape[2:])
                 else:
-                    acc = forward(self.config, params, x, impl=impl,
-                                  route=route, interpret=interpret)
+                    acc = fwd(x)
                 return acc.astype(jnp.float32) * out_scale[None, :] \
                     + out_bias[None, :]
 
