@@ -41,9 +41,15 @@ def multithreshold(acc, thr):
     """
     acc = jnp.asarray(acc)
     thr = jnp.asarray(thr)
-    # [..., N] vs [nthr, N]: broadcast to [..., nthr, N], reduce over nthr.
-    ge = acc[..., None, :] >= thr
-    return jnp.sum(ge, axis=-2, dtype=jnp.int8)
+    # Statically unrolled over the (≤3) thresholds as plain [..., N]
+    # compares. The obvious broadcast form (acc[..., None, :] >= thr →
+    # reduce over a [..., nthr, N] intermediate) is 3.3× slower on TPU
+    # at nthr=3 (measured r3: 4.64 ms vs 1.39 ms fused into a conv1-
+    # class dot) — the size-3 middle dim wrecks the epilogue layout.
+    code = (acc >= thr[0]).astype(jnp.int8)
+    for i in range(1, thr.shape[0]):
+        code = code + (acc >= thr[i]).astype(jnp.int8)
+    return code
 
 
 def codes_to_values(codes, abits: int):
