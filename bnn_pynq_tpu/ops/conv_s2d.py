@@ -172,8 +172,15 @@ def phase_maxpool(ba: BlockedAct):
         (ba.s, ba.oh, ba.ow)
     b, nbh, nbw, sn = ba.codes.shape
     n = sn // 4
-    codes = ba.codes.reshape(b, nbh, nbw, 4, n)
-    return jnp.max(codes, axis=3)[:, :ba.oh // 2, :ba.ow // 2]
+    # statically unrolled maximum over the four slot lane-groups — the
+    # reshape-to-[..., 4, n] + max(axis=3) form is 4.2× slower on TPU
+    # (2.82 ms vs 0.68 ms standalone at conv2's shape, r3 probe): the
+    # small middle dim wrecks the reduce layout, same pathology as the
+    # multithreshold broadcast (ops/thresholds.py).
+    out = ba.codes[..., 0:n]
+    for i in range(1, 4):
+        out = jnp.maximum(out, ba.codes[..., i * n:(i + 1) * n])
+    return out[:, :ba.oh // 2, :ba.ow // 2]
 
 
 def dephase(ba: BlockedAct):
