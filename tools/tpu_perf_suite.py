@@ -153,6 +153,7 @@ CASES = [
     ("cnv-w1a1", "mxu", 1024), ("cnv-w1a1", "vpu", 1024),
     ("cnv-w2a2", "xla", 1024), ("cnv-w2a2", "s2d", 1024),
     ("cnv-w2a2", "mega", 1024),
+    ("cnv-w1a2", "s2d", 1024), ("cnv-w2a2-gtsrb", "s2d", 1024),
     ("lfc-w1a1", "xla", 4096), ("lfc-w1a1", "fused", 4096),
     ("lfc-w1a1", "mxu", 4096),
     ("lfc-w1a1", "xla", 32768), ("lfc-w1a1", "fused", 32768),
