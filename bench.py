@@ -81,25 +81,47 @@ def _emit(value: float, error: str = ""):
     print(json.dumps(payload))
 
 
+def _run_inner(route: str, timeout_s: int):
+    """Run one measurement subprocess; returns (imgs_per_sec|None, err)."""
+    env = dict(os.environ)
+    # persistent compile cache: the s2d program compiles in ~5 s on a
+    # healthy compile service but has taken >200 s on a congested one
+    # (docs/session_variance.md); a warm cache removes that mode.
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".jax_cache"))
+    env["BENCH_ROUTE"] = route
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--inner"],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)), env=env)
+    except subprocess.TimeoutExpired:
+        return None, f"route={route} timed out after {timeout_s}s"
+    result = None
+    for line in (proc.stdout or "").splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            result = json.loads(line)
+    if result is None:
+        return None, f"route={route}: no result: {(proc.stderr or '')[-300:]}"
+    return result["imgs_per_sec"], ""
+
+
 if __name__ == "__main__":
     if "--inner" in sys.argv:
         print(json.dumps({"imgs_per_sec": bench_cnv_w1a1()}))
         sys.exit(0)
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--inner"],
-            capture_output=True, text=True, timeout=INNER_TIMEOUT_S,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-        result = None
-        for line in (proc.stdout or "").splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                result = json.loads(line)
-        if result is None:
-            tail = (proc.stderr or "")[-400:]
-            _emit(0.0, f"bench subprocess produced no result: {tail}")
+    # primary route, then the im2col route as a degraded-mode fallback
+    # (a congested compile service should cost throughput, not the row)
+    val, err = _run_inner(DEFAULT_ROUTE, INNER_TIMEOUT_S)
+    if val is None and DEFAULT_ROUTE != "xla":
+        val2, err2 = _run_inner("xla", max(300, INNER_TIMEOUT_S // 2))
+        if val2 is not None:
+            _emit(val2, f"fell back to route=xla ({err})")
         else:
-            _emit(result["imgs_per_sec"])
-    except subprocess.TimeoutExpired:
-        _emit(0.0, f"bench timed out after {INNER_TIMEOUT_S}s "
-                   "(device/tunnel unresponsive)")
+            _emit(0.0, f"{err}; fallback {err2}")
+    elif val is None:
+        _emit(0.0, err)
+    else:
+        _emit(val)
