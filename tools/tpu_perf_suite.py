@@ -142,9 +142,10 @@ def verify(compiled, route, batch=16):
 # NOTE: 'xlaconv' (lax.conv_general_dilated, bf16 or int8) is NOT in the
 # case list — it hangs this backend's remote TPU compiler indefinitely
 # (r3 measurement attempt; matches the int8 note in models/network.py).
-# MLP batches are large because the ~0.6 ms tunnel dispatch floor
-# (see `floor_ms`) dominates any smaller launch: LFC@4096 is ~60 µs of
-# kernel under ~600 µs of floor.
+# MLP batches are large because the tunnel dispatch floor (0.25-0.6 ms
+# by session, see `floor_ms`) dominates smaller launches; the 32k/65k
+# rows are the compute-bound MLP numbers (LFC 31M, SFC 52M img/s at
+# r3-final).
 CASES = [
     ("cnv-w1a1", "s2d", 1024), ("cnv-w1a1", "s2d", 2048),
     ("cnv-w1a1", "xla", 1024), ("cnv-w1a1", "xla", 2048),
