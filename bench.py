@@ -102,7 +102,10 @@ def _run_inner(route: str, timeout_s: int):
     for line in (proc.stdout or "").splitlines():
         line = line.strip()
         if line.startswith("{"):
-            result = json.loads(line)
+            try:
+                result = json.loads(line)
+            except json.JSONDecodeError:
+                continue    # stray brace line (warning etc.) — keep scanning
     if result is None:
         return None, f"route={route}: no result: {(proc.stderr or '')[-300:]}"
     return result["imgs_per_sec"], ""

@@ -348,14 +348,16 @@ def forward_xla(config: NetworkConfig, decoded, x, *,
                 c = lp.k // (lp.kernel * lp.kernel)
                 w_hwio = p["w_hwio"] if "w_hwio" in p else \
                     p["w_int8"].reshape(lp.kernel, lp.kernel, c, lp.n)
-                # int4 MXU cast is exact for |levels| ≤ 3 (all non-image
-                # layers) and wins only once M is large enough to
-                # amortize the cast passes (measured: +21% at conv2's
-                # M≈200k, a loss at M≤65k — perf_results/conv_probe)
+                # int4 MXU cast is exact only for |levels| ≤ 7 (int4 holds
+                # [-8,7]; abits ≤ 3 → levels ≤ ±7) and wins only once M is
+                # large enough to amortize the cast passes (measured: +21%
+                # at conv2's M≈200k, a loss at M≤65k —
+                # perf_results/conv_probe)
                 m_rows = x.shape[0] * (oh // s2d + 1) * (ow // s2d + 1)
                 min_m = S2D_TUNING["int4_min_m"]
                 use_int4 = (min_m and m_rows >= min_m
                             and lp.kind != "conv_int8"
+                            and config.abits <= 3
                             and jax.default_backend() != "cpu")
                 ba = conv_s2d_blocked(
                     vals, jnp.asarray(w_hwio), thr, s=s2d,

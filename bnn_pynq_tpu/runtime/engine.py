@@ -153,6 +153,7 @@ class InferenceEngine:
                     + out_bias[None, :]
 
         self._fn = _fn
+        self._fn_words = None   # built lazily by logits_words()
 
     def load_parameters(self, compiled: CompiledNetwork):
         """Hot-swap parameters without rebuilding the jitted program — the
@@ -217,9 +218,11 @@ class InferenceEngine:
         from bnn_pynq_tpu import native
         if self.config.input_kind != "bipolar" or self.config.bits != 1:
             raise ValueError("packed input is for W1A1 bipolar networks")
-        if self.route == "xla":
-            raise ValueError("packed input requires a packed route "
-                             "('mxu'/'vpu'), not 'xla'")
+        if self.route not in ("mxu", "vpu"):
+            raise ValueError(
+                "packed input requires a packed Pallas route ('mxu'/'vpu'); "
+                f"route={self.route!r} consumes int8 codes — use "
+                "logits_words() for the on-device-unpack path")
         words = native.binarize_pack(
             x_uint8.reshape(x_uint8.shape[0], -1))
         b = words.shape[0]
@@ -230,6 +233,42 @@ class InferenceEngine:
         t0 = time.perf_counter()
         out = np.asarray(self._fn(self.params, self.out_scale,
                                   self.out_bias, jnp.asarray(words)))
+        self.usecPerImage = (time.perf_counter() - t0) * 1e6 / b
+        return out[:b]
+
+    def logits_words(self, x_uint8: np.ndarray) -> np.ndarray:
+        """Packed input transport for the PRODUCTION routes (s2d/xla/…):
+        the host bit-packs sign bits into uint32 words (32× less
+        host→device traffic than int8 codes — the reference's
+        `binarizeAndPack` contract, SURVEY.md C10 «foldedmv-offload»),
+        and the device unpacks to ±1 values in one cheap VPU op fused
+        into the first layer. Bit-exact with prepare()+logits() for any
+        bipolar-input network (the pack stores exactly the sign bit that
+        `_input_codes` thresholds on)."""
+        from bnn_pynq_tpu import native
+        if self.config.input_kind != "bipolar":
+            raise ValueError("packed word input is for bipolar-input "
+                             "networks (MLPs); conv nets take int8 images")
+        words = native.binarize_pack(
+            x_uint8.reshape(x_uint8.shape[0], -1))
+        b = words.shape[0]
+        bucket = self._bucket(b)
+        if bucket != b:
+            words = np.concatenate(
+                [words, np.zeros((bucket - b, words.shape[1]), np.uint32)])
+        if self._fn_words is None:
+            from bnn_pynq_tpu.ops import packing
+            n_in = int(np.prod(self.config.input_shape))
+            base_fn = self._fn
+
+            @jax.jit
+            def _fw(params, out_scale, out_bias, w):
+                vals = packing.unpack_bits(w, n_in, axis=-1)
+                return base_fn(params, out_scale, out_bias, vals)
+            self._fn_words = _fw
+        t0 = time.perf_counter()
+        out = np.asarray(self._fn_words(self.params, self.out_scale,
+                                        self.out_bias, jnp.asarray(words)))
         self.usecPerImage = (time.perf_counter() - t0) * 1e6 / b
         return out[:b]
 

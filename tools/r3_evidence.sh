@@ -13,7 +13,9 @@ Q=${1:-}
 run() {
     echo "=== $* ===" >&2
     timeout "$T" "$@" 2>&1 | grep -v WARNING
-    echo "--- rc=$? ---" >&2
+    # report the profiled command's status (timeout's 124 included), not
+    # grep's — PIPESTATUS[0] is the first element of the pipe
+    echo "--- rc=${PIPESTATUS[0]} ---" >&2
 }
 
 T=1800
