@@ -274,6 +274,15 @@ S2D_TUNING = {
     "chain": True,           # feed phase output straight into the next
                              # same-s s2d conv (measured best: 2.403 ms
                              # vs 2.447 dephase-between, batch 1024)
+    "acc_i16_max_k": 512,    # drain the MXU accumulator as int16 when the
+                             # phase contraction ≤ this AND Σ|a·w| < 32767
+                             # (exact — the abs-sum bounds every partial
+                             # sum). r4 probes (perf_results/r4_conv1):
+                             # standalone +9-28% at drain-bound shapes,
+                             # −16% at MAC-bound K=1024 (hence the K
+                             # gate); interleaved e2e A/B was NEUTRAL
+                             # (2.20 vs 2.23 ms mean, spreads ≤0.02) —
+                             # kept on as theoretically-clean + free.
 }
 
 
@@ -359,9 +368,19 @@ def forward_xla(config: NetworkConfig, decoded, x, *,
                             and lp.kind != "conv_int8"
                             and config.abits <= 3
                             and jax.default_backend() != "cpu")
+                # int16 accumulator drain for drain-bound layers (exact:
+                # lp.k real taps × max|a| × max|w| bounds every partial)
+                phase_k = 4 * s2d * s2d * c
+                amax = 128 if lp.kind == "conv_int8" \
+                    else (2 ** config.abits - 1)
+                wmax = 1 if config.wbits == 1 else 3
+                max_k16 = S2D_TUNING["acc_i16_max_k"]
+                use_i16 = (max_k16 and phase_k <= max_k16
+                           and lp.k * amax * wmax < 32767)
                 ba = conv_s2d_blocked(
                     vals, jnp.asarray(w_hwio), thr, s=s2d,
-                    acc_dtype=jnp.int4 if use_int4 else None)
+                    acc_dtype=jnp.int4 if use_int4 else None,
+                    out_dtype=jnp.int16 if use_i16 else None)
                 if s2d == 2 and thr is not None and \
                         li + 1 < len(plan) and \
                         plan[li + 1].kind == "pool" and \

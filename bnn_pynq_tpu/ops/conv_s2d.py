@@ -86,7 +86,15 @@ def blocked_weights(w_hwio, s: int):
     return wp.reshape(4 * s * s * c, s * s * n)
 
 
-def _phase_dot(patches, wmat, thr, s: int, n: int, acc_dtype=None):
+def _phase_dot(patches, wmat, thr, s: int, n: int, acc_dtype=None,
+               out_dtype=None):
+    """out_dtype: preferred_element_type of the dot (the MXU accumulator-
+    drain dtype). int16 is exact whenever Σ|a·w| < 32767 over the real
+    kernel taps — that bound also bounds every partial sum, so
+    intermediate wraparound cannot occur — and measured 28% faster at
+    conv1's drain-bound (K=192, N=1024) shape (r4_conv1.jsonl: 1.156 vs
+    1.615 ms i32 same-window); it LOSES at the MAC-bound K=1024 shape
+    (1.114 vs 0.962), so callers gate it on the drain regime."""
     b, gh, gw, kw = patches.shape
     a2 = patches.reshape(b * gh * gw, kw)
     if acc_dtype is not None:
@@ -95,10 +103,10 @@ def _phase_dot(patches, wmat, thr, s: int, n: int, acc_dtype=None):
     acc = jax.lax.dot_general(
         a2, wmat,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+        preferred_element_type=out_dtype or jnp.int32)
     acc = acc.reshape(b, gh, gw, s * s * n)
     if thr is None:
-        return acc
+        return acc.astype(jnp.int32)
     return multithreshold(acc, jnp.tile(thr, (1, s * s)))
 
 
@@ -133,13 +141,16 @@ def reblock(ba: BlockedAct, s_to: int):
     return BlockedAct(x, s_to, ba.oh, ba.ow)
 
 
-def conv_s2d_blocked(act, w_hwio, thr, *, s: int, acc_dtype=None):
+def conv_s2d_blocked(act, w_hwio, thr, *, s: int, acc_dtype=None,
+                     out_dtype=None):
     """One K×K stride-1 VALID conv in phase space.
 
     act: int8 LEVELS — spatial [B, H, W, C], or a BlockedAct whose
       `codes` field already holds levels (caller decodes codes→levels).
     acc_dtype: cast dot operands to this dtype first (e.g. jnp.int4 —
       exact for |levels| ≤ 7, measured ~20% faster at the conv2 shape).
+    out_dtype: accumulator-drain dtype (see _phase_dot; int16 for
+      drain-bound layers with Σ|a·w| < 32767).
     Returns BlockedAct (codes when thr given, int32 acc when thr=None).
     """
     k, _, _, n = w_hwio.shape
@@ -159,7 +170,8 @@ def conv_s2d_blocked(act, w_hwio, thr, *, s: int, acc_dtype=None):
         vals = to_blocked(act, s, nbh, nbw)
     patches = sliding_window(vals, 2, 2, 1)
     wmat = blocked_weights(w_hwio, s)
-    out = _phase_dot(patches, wmat, thr, s, n, acc_dtype=acc_dtype)
+    out = _phase_dot(patches, wmat, thr, s, n, acc_dtype=acc_dtype,
+                     out_dtype=out_dtype)
     return BlockedAct(out, s, oh, ow)
 
 

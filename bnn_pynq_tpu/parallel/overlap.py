@@ -227,10 +227,23 @@ class OverlapTPEngine:
     """Multi-chip engine with overlapped collectives (same logits API as
     runtime.InferenceEngine; supports MLPs and conv networks). Can be
     owned by runtime.serving.BatchingServer: `classify(xs, prepared=True)`
-    pads the batch to a data-axis multiple internally."""
+    pads the batch to a data-axis multiple internally.
+
+    arm selection (VERDICT r3 next #3): the ring is NOT universally the
+    right arm — it serializes d small dots (each a dynamic_slice + dot +
+    ppermute) where blocking does one gather + one wide dot. For MLPs the
+    per-step compute is too small to hide the permute latency and the
+    ring measured 2.2× SLOWER than its own blocking arm on the committed
+    4-device virtual mesh (perf_results/overlap_vmesh.jsonl: LFC overlap
+    4.08 ms vs blocking 1.85 ms @ batch 32), while CNV's fatter per-step
+    convs win 1.17×. `arm='auto'` therefore builds both programs and
+    times them on the actual (network, mesh, calib batch), keeping the
+    measured-best; 'ring'/'blocking' force an arm. The choice and its
+    measurement are recorded on `.arm` / `.arm_reason` and in repr()."""
 
     def __init__(self, compiled: CompiledNetwork, mesh: Mesh,
-                 blocking: bool = False):
+                 blocking: bool = False, arm: str = None,
+                 calib_batch: int = None, calib_iters: int = 10):
         self.compiled = compiled
         self.config = compiled.config
         self.mesh = mesh
@@ -277,9 +290,60 @@ class OverlapTPEngine:
             jnp.asarray(compiled.out_scale), NamedSharding(mesh, P()))
         self.out_bias = jax.device_put(
             jnp.asarray(compiled.out_bias), NamedSharding(mesh, P()))
-        self._fn = make_overlap_tp_forward(self.config, mesh,
-                                           blocking=blocking)
         self._data_sh = NamedSharding(mesh, P("data"))
+        if arm is None:
+            arm = "blocking" if blocking else "ring"
+        if arm not in ("ring", "blocking", "auto"):
+            raise ValueError(f"arm must be ring|blocking|auto, got {arm!r}")
+        if arm == "auto":
+            self._fn, self.arm, self.arm_reason = self._pick_arm(
+                calib_batch, calib_iters)
+        else:
+            self._fn = make_overlap_tp_forward(self.config, mesh,
+                                               blocking=(arm == "blocking"))
+            self.arm = arm
+            self.arm_reason = "forced by caller"
+
+    def _pick_arm(self, calib_batch, iters):
+        """Compile both arms and time them on this (network, mesh) with a
+        small calibration batch; keep the faster. Also asserts the two
+        arms agree on the calibration inputs (a free exactness witness)."""
+        import time
+        d = self._data_d
+        batch = calib_batch or max(32, 8 * d)
+        rng = np.random.default_rng(0)
+        if self.config.input_kind == "bipolar":
+            x = rng.choice([-1, 1], size=(
+                batch, int(np.prod(self.config.input_shape)))).astype(np.int8)
+        else:
+            x = rng.integers(-128, 128, size=(
+                batch,) + self.config.input_shape).astype(np.int8)
+        xd = jax.device_put(jnp.asarray(x), self._data_sh)
+        w, t = tuple(self.weights), tuple(self.thrs)
+        times, fns, outs = {}, {}, {}
+        for name, blocking in (("ring", False), ("blocking", True)):
+            fn = make_overlap_tp_forward(self.config, self.mesh,
+                                         blocking=blocking)
+            outs[name] = np.asarray(
+                fn(w, t, self.out_scale, self.out_bias, xd))  # compile+warm
+            t0 = time.perf_counter()
+            res = [fn(w, t, self.out_scale, self.out_bias, xd)
+                   for _ in range(iters)]
+            jax.block_until_ready(res[-1])
+            times[name] = (time.perf_counter() - t0) / iters
+            fns[name] = fn
+        np.testing.assert_allclose(outs["ring"], outs["blocking"],
+                                   rtol=1e-5, atol=1e-5)
+        best = min(times, key=times.get)
+        reason = (f"measured ring {times['ring'] * 1e3:.2f} ms vs blocking "
+                  f"{times['blocking'] * 1e3:.2f} ms at batch {batch} on "
+                  f"mesh {dict(self.mesh.shape)}")
+        return fns[best], best, reason
+
+    def __repr__(self):
+        return (f"OverlapTPEngine({self.config.name!r}, "
+                f"mesh={dict(self.mesh.shape)}, arm={self.arm!r}; "
+                f"{self.arm_reason})")
 
     def prepare(self, x):
         from bnn_pynq_tpu.runtime.engine import prepare_host

@@ -71,6 +71,35 @@ def test_overlap_tp_hlo_structure():
         assert "collective-permute-done" in hlo
 
 
+def test_arm_auto_selection_exact_and_recorded():
+    """arm='auto' measures ring vs blocking on the actual (network, mesh),
+    keeps the faster, and records the decision (VERDICT r3 next #3 — the
+    engine no longer defaults every network to rings). Whichever arm wins,
+    logits must stay exact vs the single-device reference."""
+    compiled = _compiled()
+    mesh = make_mesh(data=2, model=4)
+    eng = OverlapTPEngine(compiled, mesh, arm="auto", calib_iters=3)
+    assert eng.arm in ("ring", "blocking")
+    assert "measured ring" in eng.arm_reason
+    assert eng.arm in repr(eng)
+    ref = InferenceEngine(compiled, runtime="ref", route="xla",
+                          batch_buckets=(32,))
+    rng = np.random.default_rng(2)
+    x = rng.choice([-1, 1], size=(32, 784)).astype(np.int8)
+    np.testing.assert_allclose(eng.logits(x),
+                               ref.logits(x, prepared=True),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_arm_forced_matches_blocking_kwarg():
+    compiled = _compiled()
+    mesh = make_mesh(data=2, model=4)
+    assert OverlapTPEngine(compiled, mesh, blocking=True).arm == "blocking"
+    assert OverlapTPEngine(compiled, mesh).arm == "ring"
+    with pytest.raises(ValueError):
+        OverlapTPEngine(compiled, mesh, arm="nope")
+
+
 def test_overlap_tp_w1a2():
     compiled = _compiled("lfc-w1a2")
     mesh = make_mesh(data=2, model=4)

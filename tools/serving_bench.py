@@ -1,0 +1,206 @@
+"""On-device serving latency benchmark (VERDICT r3 next #4: "the
+request-level number the repo still doesn't have").
+
+Drives a BatchingServer (single chip, production s2d route) with an
+OPEN-LOOP Poisson arrival process at a configurable fraction of the
+measured capacity, records per-request p50/p99 latency and achieved
+batch sizes, and appends rows to perf_results/serving.jsonl.
+
+    python tools/serving_bench.py [--net cnv-w1a1] [--loads 0.3,0.6,0.9]
+        [--duration 20] [--max-batch 256] [--max-wait-ms 2]
+
+Methodology notes (stated inline in each row):
+- capacity is measured FIRST in this same session (chained launches at
+  max_batch), so the load fractions are relative to today's device+
+  tunnel state, not a cached number;
+- per-request latency includes one device dispatch + the device→host
+  fetch through the axon tunnel; the tunnel's synchronous round-trip
+  floor (`sync_floor_ms`, measured here too) bounds every request and
+  varies 100× across sessions (docs/session_variance.md) — row
+  comparisons are within-session only;
+- arrivals are open-loop (independent Poisson), so queueing delay at
+  0.9× capacity is real, not an artifact of a closed feedback loop.
+
+Ref: the reference's usecPerImage contract «foldedmv-offload» (C10) is
+a synchronous single-image measurement; this benchmark is its serving-
+era analogue with a defined load profile (SURVEY.md §2 batch-streaming).
+"""
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def measure_capacity(engine, cfg, batch):
+    """Chained-launch images/s at the serving batch size."""
+    import jax
+    rng = np.random.default_rng(0)
+    if cfg.input_kind == "bipolar":
+        x = rng.choice([-1, 1], size=(
+            batch, int(np.prod(cfg.input_shape)))).astype(np.int8)
+    else:
+        x = rng.integers(-128, 128, size=(batch,) + cfg.input_shape
+                         ).astype(np.int8)
+    xd = jax.device_put(x)
+
+    def launch():
+        return engine._fn(engine.params, engine.out_scale, engine.out_bias,
+                          xd)
+    np.asarray(launch())
+    iters = 30
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [launch() for _ in range(iters)]
+        np.asarray(outs[-1])
+        ts.append((time.perf_counter() - t0) / iters)
+    ts.sort()
+    return batch / ts[1]
+
+
+def measure_sync_floor(engine, cfg):
+    """Synchronous single-image round trip (the tunnel floor)."""
+    img = np.zeros((1,) + ((int(np.prod(cfg.input_shape)),)
+                           if cfg.input_kind == "bipolar"
+                           else cfg.input_shape), np.int8)
+    engine.logits(img, prepared=True)
+    ts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        engine.logits(img, prepared=True)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2] * 1e3
+
+
+def run_load(server, cfg, rate_rps, duration_s, seed=0):
+    """Open-loop Poisson arrivals at rate_rps for duration_s; returns
+    (latencies_ms list, n_sent, n_done)."""
+    rng = np.random.default_rng(seed)
+    if cfg.input_kind == "bipolar":
+        img = rng.choice([-1, 1], size=(
+            int(np.prod(cfg.input_shape)),)).astype(np.int8)
+    else:
+        img = rng.integers(-128, 128, size=cfg.input_shape).astype(np.int8)
+
+    lat_ms = []
+    lock = threading.Lock()
+    futures = []
+
+    def on_done(t_submit):
+        def cb(fut):
+            if fut.exception() is None:
+                with lock:
+                    lat_ms.append((time.perf_counter() - t_submit) * 1e3)
+        return cb
+
+    t_end = time.perf_counter() + duration_s
+    n_sent = 0
+    next_t = time.perf_counter()
+    while time.perf_counter() < t_end:
+        next_t += rng.exponential(1.0 / rate_rps)
+        delay = next_t - time.perf_counter()
+        if delay > 0:
+            time.sleep(delay)
+        t0 = time.perf_counter()
+        f = server.submit(img)
+        f.add_done_callback(on_done(t0))
+        futures.append(f)
+        n_sent += 1
+    # drain
+    for f in futures:
+        try:
+            f.result(120)
+        except Exception:
+            pass
+    return lat_ms, n_sent, len(lat_ms)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--net", default="cnv-w1a1")
+    ap.add_argument("--route", default="s2d")
+    ap.add_argument("--loads", default="0.3,0.6,0.9")
+    ap.add_argument("--duration", type=float, default=20.0)
+    ap.add_argument("--max-batch", type=int, default=256)
+    ap.add_argument("--max-wait-ms", type=float, default=2.0)
+    ap.add_argument("--rate-cap", type=float, default=4000.0,
+                    help="cap the arrival rate (rps) — a Python submit "
+                    "loop cannot exceed ~5-10k rps; above the cap the "
+                    "load fraction is marked saturated")
+    ap.add_argument("--tag", default="r4")
+    ap.add_argument("--out", default="perf_results/serving.jsonl")
+    args = ap.parse_args()
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+
+    from bnn_pynq_tpu.runtime.serving import BatchingServer
+    from tools.tpu_perf_suite import _engine
+
+    engine, cfg, compiled = _engine(args.net, args.route, args.max_batch)
+    # serving pads to a bucket: give the engine the realistic bucket set
+    engine.batch_buckets = tuple(sorted({1, 16, 64, args.max_batch}))
+    for b in engine.batch_buckets:
+        shape = ((b, int(np.prod(cfg.input_shape)))
+                 if cfg.input_kind == "bipolar" else (b,) + cfg.input_shape)
+        engine.logits(np.zeros(shape, np.int8), prepared=True)  # compile
+
+    capacity = measure_capacity(engine, cfg, args.max_batch)
+    sync_floor_ms = measure_sync_floor(engine, cfg)
+    print(json.dumps({"capacity_img_s": round(capacity, 0),
+                      "sync_floor_ms": round(sync_floor_ms, 2),
+                      "net": args.net, "route": args.route,
+                      "tag": args.tag}), flush=True)
+
+    for frac in (float(x) for x in args.loads.split(",")):
+        rate = capacity * frac
+        saturated = rate > args.rate_cap
+        rate = min(rate, args.rate_cap)
+        server = BatchingServer(engine, max_batch=args.max_batch,
+                                max_wait_ms=args.max_wait_ms)
+        try:
+            # warm the server path
+            for _ in range(4):
+                server.classify(np.zeros(
+                    (int(np.prod(cfg.input_shape)),) if
+                    cfg.input_kind == "bipolar" else cfg.input_shape,
+                    np.int8), timeout=120)
+            lat_ms, n_sent, n_done = run_load(server, cfg, rate,
+                                              args.duration)
+            s = server.stats.summary()
+        finally:
+            server.stop()
+        arr = np.asarray(lat_ms)
+        row = {
+            "net": args.net, "route": args.route,
+            "load_frac": frac, "offered_rps": round(rate, 0),
+            "saturated_submit_loop": saturated,
+            "duration_s": args.duration,
+            "n_sent": n_sent, "n_done": n_done,
+            "p50_ms": round(float(np.percentile(arr, 50)), 2),
+            "p90_ms": round(float(np.percentile(arr, 90)), 2),
+            "p99_ms": round(float(np.percentile(arr, 99)), 2),
+            "mean_batch": round(s["mean_batch"], 1),
+            "max_batch": args.max_batch,
+            "max_wait_ms": args.max_wait_ms,
+            "capacity_img_s": round(capacity, 0),
+            "sync_floor_ms": round(sync_floor_ms, 2),
+            "tag": args.tag,
+            "note": "open-loop Poisson; latency includes the axon-tunnel "
+                    "device fetch (session-dependent floor; see "
+                    "sync_floor_ms)",
+        }
+        line = json.dumps(row)
+        print(line, flush=True)
+        with open(args.out, "a") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
