@@ -28,6 +28,9 @@ DEFAULT_BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
 
 def bench_cnv_w1a1(batch: int = DEFAULT_BATCH, iters: int = 400,
                    route: str = DEFAULT_ROUTE):
+    """Returns (images_per_sec, calib_ms, floor_ms) — the session
+    calibration rides along so BENCH_rN.json is readable against device
+    state without the suite logs (VERDICT r3 next #8)."""
     import numpy as np
     import jax
     from bnn_pynq_tpu.models import get_config
@@ -66,16 +69,22 @@ def bench_cnv_w1a1(batch: int = DEFAULT_BATCH, iters: int = 400,
             for _ in range(iters)]
     np.asarray(outs[-1])
     dt = (time.perf_counter() - t0) / iters
-    return batch / dt
+
+    from tools.tpu_perf_suite import calibrate
+    calib_ms, floor_ms = calibrate()
+    return batch / dt, calib_ms, floor_ms
 
 
-def _emit(value: float, error: str = ""):
+def _emit(value: float, error: str = "", calib_ms=None, floor_ms=None):
     payload = {
         "metric": "cnv-w1a1_cifar10_images_per_sec_1chip",
         "value": round(value, 1),
         "unit": "images/s",
         "vs_baseline": round(value / BASELINE_IMAGES_PER_SEC, 3),
     }
+    if calib_ms is not None:
+        payload["calib_ms"] = calib_ms    # fixed 2048^3 bf16 matmul
+        payload["floor_ms"] = floor_ms    # chained empty-launch floor
     if error:
         payload["error"] = error
     print(json.dumps(payload))
@@ -108,23 +117,27 @@ def _run_inner(route: str, timeout_s: int):
                 continue    # stray brace line (warning etc.) — keep scanning
     if result is None:
         return None, f"route={route}: no result: {(proc.stderr or '')[-300:]}"
-    return result["imgs_per_sec"], ""
+    return result, ""
 
 
 if __name__ == "__main__":
     if "--inner" in sys.argv:
-        print(json.dumps({"imgs_per_sec": bench_cnv_w1a1()}))
+        imgs, calib_ms, floor_ms = bench_cnv_w1a1()
+        print(json.dumps({"imgs_per_sec": imgs, "calib_ms": calib_ms,
+                          "floor_ms": floor_ms}))
         sys.exit(0)
     # primary route, then the im2col route as a degraded-mode fallback
     # (a congested compile service should cost throughput, not the row)
-    val, err = _run_inner(DEFAULT_ROUTE, INNER_TIMEOUT_S)
-    if val is None and DEFAULT_ROUTE != "xla":
-        val2, err2 = _run_inner("xla", max(300, INNER_TIMEOUT_S // 2))
-        if val2 is not None:
-            _emit(val2, f"fell back to route=xla ({err})")
+    res, err = _run_inner(DEFAULT_ROUTE, INNER_TIMEOUT_S)
+    if res is None and DEFAULT_ROUTE != "xla":
+        res2, err2 = _run_inner("xla", max(300, INNER_TIMEOUT_S // 2))
+        if res2 is not None:
+            _emit(res2["imgs_per_sec"], f"fell back to route=xla ({err})",
+                  res2.get("calib_ms"), res2.get("floor_ms"))
         else:
             _emit(0.0, f"{err}; fallback {err2}")
-    elif val is None:
+    elif res is None:
         _emit(0.0, err)
     else:
-        _emit(val)
+        _emit(res["imgs_per_sec"], "",
+              res.get("calib_ms"), res.get("floor_ms"))

@@ -36,3 +36,22 @@ def steady_state_time(launch: Callable[[], object], iters: int = 20,
     outs = [launch() for _ in range(iters)]
     np.asarray(outs[-1])
     return (time.perf_counter() - t0) / iters
+
+
+def steady_state_stats(launch: Callable[[], object], iters: int = 20,
+                       repeats: int = 4, warmup: int = 2):
+    """(median, half_range) seconds/launch over `repeats` chained windows.
+    The half-range is the uncertainty a differencing consumer must
+    propagate (VERDICT r3 next #8: committed profiler tables need a
+    per-row noise field)."""
+    for _ in range(warmup):
+        out = launch()
+    np.asarray(out)  # noqa: F841
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        outs = [launch() for _ in range(iters)]
+        np.asarray(outs[-1])
+        ts.append((time.perf_counter() - t0) / iters)
+    ts.sort()
+    return ts[len(ts) // 2], (ts[-1] - ts[0]) / 2
