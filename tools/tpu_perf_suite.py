@@ -180,6 +180,8 @@ def main():
     ap.add_argument("--routes", default="",
                     help="comma list filter, e.g. xla,mega")
     ap.add_argument("--nets", default="", help="comma list filter")
+    ap.add_argument("--batches", default="",
+                    help="comma list filter, e.g. 1 for the latency rows")
     ap.add_argument("--tag", default="", help="free-form run label")
     ap.add_argument("--out", default="perf_results/perf.jsonl")
     args = ap.parse_args()
@@ -197,6 +199,9 @@ def main():
     if args.nets:
         keep = set(args.nets.split(","))
         cases = [c for c in cases if c[0] in keep]
+    if args.batches:
+        keep = {int(b) for b in args.batches.split(",")}
+        cases = [c for c in cases if c[2] in keep]
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     calib_ms, floor_ms = calibrate()
