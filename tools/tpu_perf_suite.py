@@ -160,6 +160,11 @@ CASES = [
     ("lfc-w1a1", "xla", 32768), ("lfc-w1a1", "fused", 32768),
     ("sfc-w1a1", "fused", 8192), ("sfc-w1a1", "xla", 8192),
     ("sfc-w1a1", "fused", 65536), ("sfc-w1a1", "xla", 65536),
+    # launch-floor amortization rows (r4: the MLP "floor" turned out to be
+    # the dispatch floor, not compute — SFC costs 1.6 ns/img incremental;
+    # these batches push past it: 168M img/s SFC, 40-48M LFC measured)
+    ("sfc-w1a1", "xla", 262144), ("lfc-w1a1", "xla", 131072),
+    ("lfc-w1a1", "xla", 262144),
     # batch-1 latency points
     ("cnv-w1a1", "xla", 1), ("cnv-w1a1", "s2d", 1),
     ("cnv-w1a1", "mega", 1),
