@@ -272,6 +272,22 @@ class InferenceEngine:
         self.usecPerImage = (time.perf_counter() - t0) * 1e6 / b
         return out[:b]
 
+    def logits_device(self, x: np.ndarray, *, prepared: bool = False):
+        """Async launch: pads to a bucket and returns (device_logits, b)
+        WITHOUT the device→host fetch. The serving dispatcher uses this
+        to pipeline: launch batch t+1 while batch t's ~25 ms tunnel
+        fetch is still in flight (the fetch, not compute, bounds serving
+        throughput through the axon tunnel — measured in
+        perf_results/serving.jsonl)."""
+        if not prepared:
+            x = self.prepare(x)
+        b = x.shape[0]
+        bucket = self._bucket(b)
+        if bucket != b:
+            pad = np.zeros((bucket - b,) + x.shape[1:], dtype=x.dtype)
+            x = np.concatenate([x, pad], axis=0)
+        return self._fn(self.params, self.out_scale, self.out_bias, x), b
+
     def classify(self, x: np.ndarray, *, prepared: bool = False) -> np.ndarray:
         """Class indices [B] (the reference's inference_multiple)."""
         return np.argmax(self.logits(x, prepared=prepared), axis=-1)

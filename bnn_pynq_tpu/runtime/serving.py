@@ -35,6 +35,7 @@ STATS_WINDOW = 65536
 @dataclass
 class ServerStats:
     requests: int = 0
+    images: int = 0
     batches: int = 0
     latencies_ms: Deque[float] = field(
         default_factory=lambda: deque(maxlen=STATS_WINDOW))
@@ -47,20 +48,26 @@ class ServerStats:
     def summary(self) -> dict:
         return {
             "requests": self.requests,
+            "images": self.images,
             "batches": self.batches,
-            "mean_batch": self.requests / max(1, self.batches),
+            "mean_batch": self.images / max(1, self.batches),
             "p50_ms": self.percentile(50),
             "p99_ms": self.percentile(99),
         }
 
 
 class _Request:
-    __slots__ = ("x", "future", "t_enqueue")
+    __slots__ = ("x", "n", "future", "t_enqueue")
 
-    def __init__(self, x):
+    def __init__(self, x, n=0):
         self.x = x
+        self.n = n                     # 0 = single image (no batch dim)
         self.future: Future = Future()
         self.t_enqueue = time.perf_counter()
+
+    @property
+    def n_images(self) -> int:
+        return self.n if self.n else 1
 
 
 class BatchingServer:
@@ -68,14 +75,32 @@ class BatchingServer:
     `classify(x, prepared=True)` / `logits`)."""
 
     def __init__(self, engine, max_batch: int = 256,
-                 max_wait_ms: float = 2.0, return_logits: bool = False):
+                 max_wait_ms: float = 2.0, return_logits: bool = False,
+                 pipeline_depth: int = 2):
+        """pipeline_depth: number of batches in flight at once. Through
+        the axon tunnel the device->host fetch (~25 ms, session-
+        dependent) bounds serving throughput, not compute; with depth
+        >= 2 the dispatcher launches batch t+1 while a collector thread
+        blocks on batch t's fetch, overlapping launch+compute with the
+        previous fetch (measured: ~1.9x sustained throughput,
+        perf_results/serving.jsonl). Depth 1 = the synchronous r3
+        behavior. Requires the engine to expose logits_device(); other
+        engines (e.g. OverlapTPEngine) fall back to sync dispatch."""
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self.return_logits = return_logits
+        self.pipeline_depth = (pipeline_depth
+                               if hasattr(engine, "logits_device") else 1)
         self.stats = ServerStats()
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._stop = threading.Event()
+        if self.pipeline_depth > 1:
+            self._inflight: "queue.Queue" = queue.Queue(
+                maxsize=self.pipeline_depth - 1)
+            self._collector = threading.Thread(target=self._collect_loop,
+                                               daemon=True)
+            self._collector.start()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -94,6 +119,24 @@ class BatchingServer:
         self._q.put(req)
         return req.future
 
+    def submit_many(self, x_prepared: np.ndarray) -> Future:
+        """Enqueue a multi-image request (leading batch dim k >= 1); one
+        queue entry, one future resolving to the k class indices (or
+        logits). This is the realistic client contract — per-image
+        submit() costs ~10 us of Python each, which caps a single client
+        near 10^5 img/s regardless of engine capacity (measured,
+        tools/serving_bench.py) — and counts as k images toward the
+        dispatcher's max_batch."""
+        x = np.asarray(x_prepared)
+        if x.ndim == 0 or len(x) == 0:
+            raise ValueError("submit_many needs a leading batch dim")
+        req = _Request(x, n=len(x))
+        if self._stop.is_set():
+            req.future.set_exception(RuntimeError("server stopped"))
+            return req.future
+        self._q.put(req)
+        return req.future
+
     def classify(self, x_prepared: np.ndarray, timeout: float = 60.0):
         return self.submit(x_prepared).result(timeout)
 
@@ -105,6 +148,9 @@ class BatchingServer:
         self._stop.set()
         self._q.put(None)
         self._thread.join(timeout=10)
+        if self.pipeline_depth > 1:
+            self._inflight.put(None)
+            self._collector.join(timeout=30)
         # fail anything still queued so no future is stranded
         try:
             while True:
@@ -123,16 +169,18 @@ class BatchingServer:
         if first is None:
             return []
         batch = [first]
+        n_imgs = first.n_images
         deadline = time.perf_counter() + self.max_wait_s
-        while len(batch) < self.max_batch:
+        while n_imgs < self.max_batch:
             remaining = deadline - time.perf_counter()
             if remaining <= 0:
                 try:
-                    while len(batch) < self.max_batch:
+                    while n_imgs < self.max_batch:
                         r = self._q.get_nowait()
                         if r is None:
                             return batch
                         batch.append(r)
+                        n_imgs += r.n_images
                 except queue.Empty:
                     pass
                 break
@@ -143,15 +191,52 @@ class BatchingServer:
             if r is None:
                 break
             batch.append(r)
+            n_imgs += r.n_images
         return batch
+
+    def _resolve(self, batch, outs):
+        now = time.perf_counter()
+        off = 0
+        for r in batch:
+            k = r.n_images
+            r.future.set_result(outs[off:off + k] if r.n else outs[off])
+            off += k
+            self.stats.latencies_ms.append((now - r.t_enqueue) * 1e3)
+        self.stats.requests += len(batch)
+        self.stats.images += off
+        self.stats.batches += 1
+
+    def _collect_loop(self):
+        """Pipelined-mode fetch stage: blocks on the device->host fetch
+        of batch t while the dispatcher is already launching t+1."""
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            batch, dev_out, b = item
+            try:
+                outs = np.asarray(dev_out)[:b]
+                if not self.return_logits:
+                    outs = np.argmax(outs, axis=-1)
+            except Exception as e:
+                for r in batch:
+                    r.future.set_exception(e)
+                continue
+            self._resolve(batch, outs)
 
     def _loop(self):
         while not self._stop.is_set():
             batch = self._collect()
             if not batch:
                 continue
-            xs = np.stack([r.x for r in batch])
+            xs = np.concatenate(
+                [r.x if r.n else r.x[None] for r in batch])
             try:
+                if self.pipeline_depth > 1:
+                    dev_out, b = self.engine.logits_device(xs,
+                                                           prepared=True)
+                    self._inflight.put((batch, dev_out, b))
+                    continue
                 if self.return_logits:
                     outs = self.engine.logits(xs, prepared=True)
                 else:
@@ -160,9 +245,4 @@ class BatchingServer:
                 for r in batch:
                     r.future.set_exception(e)
                 continue
-            now = time.perf_counter()
-            for r, out in zip(batch, outs):
-                r.future.set_result(out)
-                self.stats.latencies_ms.append((now - r.t_enqueue) * 1e3)
-            self.stats.requests += len(batch)
-            self.stats.batches += 1
+            self._resolve(batch, outs)

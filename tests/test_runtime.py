@@ -140,6 +140,29 @@ def test_batching_server_correct_and_batches(cnv_engine):
     assert s["p50_ms"] > 0
 
 
+def test_batching_server_multi_image_requests(cnv_engine):
+    """submit_many: one queue entry per k-image request, results split
+    back per request, interleaved with single submits — the serving
+    contract behind HTTP POST batches and tools/serving_bench.py."""
+    rng = np.random.default_rng(8)
+    imgs = rng.integers(0, 256, size=(20, 10, 10, 3)).astype(np.uint8)
+    prepared = cnv_engine.prepare(imgs)
+    expected = cnv_engine.classify(prepared, prepared=True)
+    server = BatchingServer(cnv_engine, max_batch=16, max_wait_ms=20.0)
+    try:
+        f_a = server.submit_many(prepared[0:7])
+        f_one = server.submit(prepared[7])
+        f_b = server.submit_many(prepared[8:20])
+        np.testing.assert_array_equal(f_a.result(60), expected[0:7])
+        assert f_one.result(60) == expected[7]
+        np.testing.assert_array_equal(f_b.result(60), expected[8:20])
+    finally:
+        server.stop()
+    assert server.stats.requests == 3
+    assert server.stats.images == 20
+    assert server.stats.summary()["mean_batch"] > 1
+
+
 def test_load_parameters_hot_swap():
     cfg = mini_cnv(1, 1)
     _, p1, s1 = init_perturbed(cfg, seed=40)
@@ -192,7 +215,9 @@ def test_http_server_roundtrip(tmp_path):
 
         stats_resp = json.loads(urllib.request.urlopen(
             f"http://127.0.0.1:{port}/stats", timeout=10).read())
-        assert stats_resp["requests"] >= 3
+        # one POST of 3 images = ONE multi-image request
+        assert stats_resp["requests"] >= 1
+        assert stats_resp["images"] >= 3
     finally:
         httpd.shutdown()
         batcher.stop()

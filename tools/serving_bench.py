@@ -38,8 +38,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def measure_capacity(engine, cfg, batch):
-    """Chained-launch images/s at the serving batch size."""
+def measure_chained_capacity(engine, cfg, batch):
+    """Chained-launch images/s at the serving batch size — the KERNEL
+    capacity. NOT what the server can sustain: each served batch costs a
+    synchronous device→host fetch through the tunnel, so serving
+    capacity is bounded by max_batch/fetch-time (see
+    measure_serving_capacity)."""
     import jax
     rng = np.random.default_rng(0)
     if cfg.input_kind == "bipolar":
@@ -65,6 +69,42 @@ def measure_capacity(engine, cfg, batch):
     return batch / ts[1]
 
 
+def measure_serving_capacity(make_server, cfg, req_batch, seconds=6.0):
+    """Closed-loop images/s THROUGH the BatchingServer itself (includes
+    queueing, padding, per-batch device round trips, pipelining) — the
+    number load fractions must be relative to."""
+    server = make_server()
+    rng = np.random.default_rng(1)
+    if cfg.input_kind == "bipolar":
+        xs = rng.choice([-1, 1], size=(
+            req_batch, int(np.prod(cfg.input_shape)))).astype(np.int8)
+    else:
+        xs = rng.integers(-128, 128, size=(req_batch,) + cfg.input_shape
+                          ).astype(np.int8)
+    try:
+        server.submit_many(xs).result(120)       # warm
+        stop_t = time.perf_counter() + seconds
+        done = [0]
+        lock = threading.Lock()
+
+        def client():
+            while time.perf_counter() < stop_t:
+                server.submit_many(xs).result(120)
+                with lock:
+                    done[0] += req_batch
+
+        threads = [threading.Thread(target=client) for _ in range(8)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=seconds + 120)
+        dt = time.perf_counter() - t0
+    finally:
+        server.stop()
+    return done[0] / dt
+
+
 def measure_sync_floor(engine, cfg):
     """Synchronous single-image round trip (the tunnel floor)."""
     img = np.zeros((1,) + ((int(np.prod(cfg.input_shape)),)
@@ -80,9 +120,14 @@ def measure_sync_floor(engine, cfg):
     return ts[len(ts) // 2] * 1e3
 
 
-def run_load(server, cfg, rate_rps, duration_s, seed=0):
-    """Open-loop Poisson arrivals at rate_rps for duration_s; returns
-    (latencies_ms list, n_sent, n_done)."""
+def run_load(server, cfg, rate_rps, duration_s, req_batch=1, seed=0):
+    """Open-loop Poisson REQUEST arrivals at rate_rps for duration_s;
+    each request carries `req_batch` images (a realistic serving client
+    sends frames in small batches — a single-image Python submit loop
+    tops out around ~5k/s, far below the engine's capacity, so per-image
+    arrivals cannot express 30/60/90% load). A request completes when
+    its last image resolves. Returns (request latencies_ms, n_sent,
+    n_done)."""
     rng = np.random.default_rng(seed)
     if cfg.input_kind == "bipolar":
         img = rng.choice([-1, 1], size=(
@@ -90,9 +135,11 @@ def run_load(server, cfg, rate_rps, duration_s, seed=0):
     else:
         img = rng.integers(-128, 128, size=cfg.input_shape).astype(np.int8)
 
+    reqx = np.broadcast_to(img, (req_batch,) + img.shape).copy() \
+        if req_batch > 1 else img
     lat_ms = []
     lock = threading.Lock()
-    futures = []
+    pending = []
 
     def on_done(t_submit):
         def cb(fut):
@@ -110,12 +157,11 @@ def run_load(server, cfg, rate_rps, duration_s, seed=0):
         if delay > 0:
             time.sleep(delay)
         t0 = time.perf_counter()
-        f = server.submit(img)
+        f = server.submit_many(reqx) if req_batch > 1 else server.submit(img)
         f.add_done_callback(on_done(t0))
-        futures.append(f)
+        pending.append(f)
         n_sent += 1
-    # drain
-    for f in futures:
+    for f in pending:
         try:
             f.result(120)
         except Exception:
@@ -131,10 +177,13 @@ def main():
     ap.add_argument("--duration", type=float, default=20.0)
     ap.add_argument("--max-batch", type=int, default=256)
     ap.add_argument("--max-wait-ms", type=float, default=2.0)
-    ap.add_argument("--rate-cap", type=float, default=4000.0,
-                    help="cap the arrival rate (rps) — a Python submit "
-                    "loop cannot exceed ~5-10k rps; above the cap the "
-                    "load fraction is marked saturated")
+    ap.add_argument("--req-batch", type=int, default=64,
+                    help="images per request (client-side batch)")
+    ap.add_argument("--pipeline-depth", type=int, default=2)
+    ap.add_argument("--rate-cap", type=float, default=2000.0,
+                    help="cap the REQUEST arrival rate — a Python submit "
+                    "loop cannot exceed a few k submissions/s; above the "
+                    "cap the load fraction is marked saturated")
     ap.add_argument("--tag", default="r4")
     ap.add_argument("--out", default="perf_results/serving.jsonl")
     args = ap.parse_args()
@@ -151,19 +200,31 @@ def main():
                  if cfg.input_kind == "bipolar" else (b,) + cfg.input_shape)
         engine.logits(np.zeros(shape, np.int8), prepared=True)  # compile
 
-    capacity = measure_capacity(engine, cfg, args.max_batch)
+    chained = measure_chained_capacity(engine, cfg, args.max_batch)
     sync_floor_ms = measure_sync_floor(engine, cfg)
-    print(json.dumps({"capacity_img_s": round(capacity, 0),
+
+    def make_server(depth=args.pipeline_depth):
+        return BatchingServer(engine, max_batch=args.max_batch,
+                              max_wait_ms=args.max_wait_ms,
+                              pipeline_depth=depth)
+
+    capacity = measure_serving_capacity(make_server, cfg, args.req_batch)
+    cap_sync = measure_serving_capacity(lambda: make_server(1), cfg,
+                                        args.req_batch)
+    print(json.dumps({"chained_kernel_img_s": round(chained, 0),
+                      "serving_capacity_img_s": round(capacity, 0),
+                      "serving_capacity_sync_img_s": round(cap_sync, 0),
+                      "pipeline_speedup": round(capacity / cap_sync, 2),
                       "sync_floor_ms": round(sync_floor_ms, 2),
                       "net": args.net, "route": args.route,
+                      "max_batch": args.max_batch,
                       "tag": args.tag}), flush=True)
 
     for frac in (float(x) for x in args.loads.split(",")):
-        rate = capacity * frac
+        rate = capacity * frac / args.req_batch     # requests/s
         saturated = rate > args.rate_cap
         rate = min(rate, args.rate_cap)
-        server = BatchingServer(engine, max_batch=args.max_batch,
-                                max_wait_ms=args.max_wait_ms)
+        server = make_server()
         try:
             # warm the server path
             for _ in range(4):
@@ -172,14 +233,17 @@ def main():
                     cfg.input_kind == "bipolar" else cfg.input_shape,
                     np.int8), timeout=120)
             lat_ms, n_sent, n_done = run_load(server, cfg, rate,
-                                              args.duration)
+                                              args.duration,
+                                              req_batch=args.req_batch)
             s = server.stats.summary()
         finally:
             server.stop()
         arr = np.asarray(lat_ms)
         row = {
             "net": args.net, "route": args.route,
-            "load_frac": frac, "offered_rps": round(rate, 0),
+            "load_frac": frac, "offered_req_s": round(rate, 1),
+            "req_batch": args.req_batch,
+            "offered_img_s": round(rate * args.req_batch, 0),
             "saturated_submit_loop": saturated,
             "duration_s": args.duration,
             "n_sent": n_sent, "n_done": n_done,
@@ -189,7 +253,8 @@ def main():
             "mean_batch": round(s["mean_batch"], 1),
             "max_batch": args.max_batch,
             "max_wait_ms": args.max_wait_ms,
-            "capacity_img_s": round(capacity, 0),
+            "pipeline_depth": args.pipeline_depth,
+            "serving_capacity_img_s": round(capacity, 0),
             "sync_floor_ms": round(sync_floor_ms, 2),
             "tag": args.tag,
             "note": "open-loop Poisson; latency includes the axon-tunnel "
