@@ -154,6 +154,7 @@ class InferenceEngine:
 
         self._fn = _fn
         self._fn_words = None   # built lazily by logits_words()
+        self._fn_cls = None     # built lazily by classify()/logits_device
 
     def load_parameters(self, compiled: CompiledNetwork):
         """Hot-swap parameters without rebuilding the jitted program — the
@@ -272,13 +273,33 @@ class InferenceEngine:
         self.usecPerImage = (time.perf_counter() - t0) * 1e6 / b
         return out[:b]
 
-    def logits_device(self, x: np.ndarray, *, prepared: bool = False):
-        """Async launch: pads to a bucket and returns (device_logits, b)
+    def _classify_fn(self):
+        """jitted device-side argmax variant of _fn. Materializing the
+        [B, ncls] float logits is the dominant cost at large batches on
+        this backend (the ncls=10 lane dim pads to 128: measured 16.7 ms
+        vs 3.3 ms with in-jit argmax at B=262k — 5×, same family as the
+        epilogue layout pathologies in docs/dot_rate_model.md §2b), so
+        the classify/serving path reduces on-device and fetches [B]
+        int32 instead."""
+        if self._fn_cls is None:
+            base = self._fn
+
+            @jax.jit
+            def _fc(params, out_scale, out_bias, x):
+                return jnp.argmax(base(params, out_scale, out_bias, x),
+                                  axis=-1).astype(jnp.int32)
+            self._fn_cls = _fc
+        return self._fn_cls
+
+    def logits_device(self, x: np.ndarray, *, prepared: bool = False,
+                      argmax: bool = False):
+        """Async launch: pads to a bucket and returns (device_out, b)
         WITHOUT the device→host fetch. The serving dispatcher uses this
         to pipeline: launch batch t+1 while batch t's ~25 ms tunnel
         fetch is still in flight (the fetch, not compute, bounds serving
         throughput through the axon tunnel — measured in
-        perf_results/serving.jsonl)."""
+        perf_results/serving.jsonl). argmax=True returns device class
+        indices instead of logits (see _classify_fn)."""
         if not prepared:
             x = self.prepare(x)
         b = x.shape[0]
@@ -286,11 +307,24 @@ class InferenceEngine:
         if bucket != b:
             pad = np.zeros((bucket - b,) + x.shape[1:], dtype=x.dtype)
             x = np.concatenate([x, pad], axis=0)
-        return self._fn(self.params, self.out_scale, self.out_bias, x), b
+        fn = self._classify_fn() if argmax else self._fn
+        return fn(self.params, self.out_scale, self.out_bias, x), b
 
     def classify(self, x: np.ndarray, *, prepared: bool = False) -> np.ndarray:
-        """Class indices [B] (the reference's inference_multiple)."""
-        return np.argmax(self.logits(x, prepared=prepared), axis=-1)
+        """Class indices [B] (the reference's inference_multiple) —
+        argmax runs ON DEVICE (see _classify_fn)."""
+        if not prepared:
+            x = self.prepare(x)
+        b = x.shape[0]
+        bucket = self._bucket(b)
+        if bucket != b:
+            pad = np.zeros((bucket - b,) + x.shape[1:], dtype=x.dtype)
+            x = np.concatenate([x, pad], axis=0)
+        fn = self._classify_fn()
+        t0 = time.perf_counter()
+        out = np.asarray(fn(self.params, self.out_scale, self.out_bias, x))
+        self.usecPerImage = (time.perf_counter() - t0) * 1e6 / b
+        return out[:b]
 
     def classify_one(self, image: np.ndarray) -> int:
         """Single image (the reference's `inference`)."""

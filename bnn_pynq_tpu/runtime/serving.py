@@ -215,9 +215,8 @@ class BatchingServer:
                 return
             batch, dev_out, b = item
             try:
+                # argmax already ran on device when return_logits=False
                 outs = np.asarray(dev_out)[:b]
-                if not self.return_logits:
-                    outs = np.argmax(outs, axis=-1)
             except Exception as e:
                 for r in batch:
                     r.future.set_exception(e)
@@ -233,8 +232,9 @@ class BatchingServer:
                 [r.x if r.n else r.x[None] for r in batch])
             try:
                 if self.pipeline_depth > 1:
-                    dev_out, b = self.engine.logits_device(xs,
-                                                           prepared=True)
+                    dev_out, b = self.engine.logits_device(
+                        xs, prepared=True,
+                        argmax=not self.return_logits)
                     self._inflight.put((batch, dev_out, b))
                     continue
                 if self.return_logits:

@@ -66,17 +66,21 @@ def _timed_windows(launch, iters, repeats):
     return med, spread
 
 
-def measure(engine, cfg, batch, repeats=5, window_s=1.0, iters=None):
+def measure(engine, cfg, batch, repeats=5, window_s=1.0, iters=None,
+            classify=False):
     """Median seconds/launch + relative spread (max-min)/median, with
     iteration counts auto-sized so each timed window spans ≥ window_s —
     the ~30 ms tunnel fetch then amortizes below the noise floor no
-    matter how fast the kernel is."""
+    matter how fast the kernel is. classify=True times the device-argmax
+    production path instead of the logits path (materializing [B, ncls]
+    lane-padded logits costs 5× the whole forward at B=262k — engine
+    _classify_fn docstring)."""
     import jax
     xd = jax.device_put(_rand_input(cfg, batch))
+    fn = engine._classify_fn() if classify else engine._fn
 
     def launch():
-        return engine._fn(engine.params, engine.out_scale, engine.out_bias,
-                          xd)
+        return fn(engine.params, engine.out_scale, engine.out_bias, xd)
 
     t0 = time.perf_counter()
     np.asarray(launch())
@@ -187,6 +191,9 @@ def main():
     ap.add_argument("--nets", default="", help="comma list filter")
     ap.add_argument("--batches", default="",
                     help="comma list filter, e.g. 1 for the latency rows")
+    ap.add_argument("--classify", action="store_true",
+                    help="time the device-argmax classify path (the "
+                    "serving op) instead of full logits materialization")
     ap.add_argument("--tag", default="", help="free-form run label")
     ap.add_argument("--out", default="perf_results/perf.jsonl")
     args = ap.parse_args()
@@ -217,7 +224,7 @@ def main():
             engine, cfg, compiled = _engine(name, route, batch)
             dt, compile_s, spread, iters = measure(
                 engine, cfg, batch, repeats=repeats, window_s=window_s,
-                iters=args.iters or None)
+                iters=args.iters or None, classify=args.classify)
             sol = mxu_roofline_images_per_sec(cfg, chip_specs())
             row = {"network": name, "route": route, "batch": batch,
                    "ms": round(dt * 1e3, 3),
@@ -231,6 +238,8 @@ def main():
                    "spread": round(spread, 3), "iters": iters,
                    "compile_s": round(compile_s, 1),
                    "calib_ms": calib_ms, "floor_ms": floor_ms}
+            if args.classify:
+                row["path"] = "classify"   # device-argmax output [B]
             if args.tag:
                 row["tag"] = args.tag
             if args.verify:
