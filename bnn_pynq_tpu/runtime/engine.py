@@ -153,8 +153,9 @@ class InferenceEngine:
                     + out_bias[None, :]
 
         self._fn = _fn
-        self._fn_words = None   # built lazily by logits_words()
-        self._fn_cls = None     # built lazily by classify()/logits_device
+        self._fn_words = None      # built lazily by logits_words()
+        self._fn_words_cls = None  # built lazily by words_device(argmax)
+        self._fn_cls = None        # built lazily by classify()/logits_device
 
     def load_parameters(self, compiled: CompiledNetwork):
         """Hot-swap parameters without rebuilding the jitted program — the
@@ -257,6 +258,14 @@ class InferenceEngine:
         if bucket != b:
             words = np.concatenate(
                 [words, np.zeros((bucket - b, words.shape[1]), np.uint32)])
+        t0 = time.perf_counter()
+        out = np.asarray(self._words_fn()(self.params, self.out_scale,
+                                          self.out_bias,
+                                          jnp.asarray(words)))
+        self.usecPerImage = (time.perf_counter() - t0) * 1e6 / b
+        return out[:b]
+
+    def _words_fn(self):
         if self._fn_words is None:
             from bnn_pynq_tpu.ops import packing
             n_in = int(np.prod(self.config.input_shape))
@@ -267,11 +276,36 @@ class InferenceEngine:
                 vals = packing.unpack_bits(w, n_in, axis=-1)
                 return base_fn(params, out_scale, out_bias, vals)
             self._fn_words = _fw
-        t0 = time.perf_counter()
-        out = np.asarray(self._fn_words(self.params, self.out_scale,
-                                        self.out_bias, jnp.asarray(words)))
-        self.usecPerImage = (time.perf_counter() - t0) * 1e6 / b
-        return out[:b]
+        return self._fn_words
+
+    def _words_classify_fn(self):
+        if self._fn_words_cls is None:
+            base = self._words_fn()
+
+            @jax.jit
+            def _fwc(params, out_scale, out_bias, w):
+                return jnp.argmax(base(params, out_scale, out_bias, w),
+                                  axis=-1).astype(jnp.int32)
+            self._fn_words_cls = _fwc
+        return self._fn_words_cls
+
+    def words_device(self, words: np.ndarray, *, argmax: bool = False):
+        """Async launch from host-packed uint32 words (see logits_words)
+        WITHOUT the device→host fetch — the packed-transport twin of
+        logits_device, used by the serving dispatcher for bipolar nets:
+        32× less host→device traffic per batch on the transfer-bound
+        serving path (perf_results/serving.jsonl)."""
+        if self.config.input_kind != "bipolar":
+            raise ValueError("packed word input is for bipolar-input "
+                             "networks")
+        b = words.shape[0]
+        bucket = self._bucket(b)
+        if bucket != b:
+            words = np.concatenate(
+                [words, np.zeros((bucket - b, words.shape[1]), np.uint32)])
+        fn = self._words_classify_fn() if argmax else self._words_fn()
+        return fn(self.params, self.out_scale, self.out_bias,
+                  jnp.asarray(words)), b
 
     def _classify_fn(self):
         """jitted device-side argmax variant of _fn. Materializing the

@@ -163,6 +163,32 @@ def test_batching_server_multi_image_requests(cnv_engine):
     assert server.stats.summary()["mean_batch"] > 1
 
 
+def test_batching_server_packed_transport_mlp():
+    """Bipolar (MLP) engines serve through the packed-word transport:
+    the dispatcher packs each dispatched batch to uint32 words (32×
+    smaller transfer) and the device unpacks + argmaxes in one program.
+    Results must match the engine's own classify bit-for-bit."""
+    cfg = mini_mlp(1, 1)
+    _, params, stats = init_perturbed(cfg, seed=33)
+    engine = InferenceEngine(compile_network(cfg, params, stats),
+                             runtime="interpret", route="xla",
+                             batch_buckets=(16,))
+    rng = np.random.default_rng(12)
+    imgs = rng.integers(0, 256, size=(10,) + cfg.input_shape
+                        ).astype(np.uint8)
+    prepared = engine.prepare(imgs)
+    expected = engine.classify(prepared, prepared=True)
+    server = BatchingServer(engine, max_batch=16, max_wait_ms=20.0)
+    assert server.packed_transport
+    try:
+        got = np.asarray(server.submit_many(prepared).result(60))
+        one = server.submit(prepared[0]).result(60)
+    finally:
+        server.stop()
+    np.testing.assert_array_equal(got, expected)
+    assert one == expected[0]
+
+
 def test_load_parameters_hot_swap():
     cfg = mini_cnv(1, 1)
     _, p1, s1 = init_perturbed(cfg, seed=40)

@@ -180,6 +180,8 @@ def main():
     ap.add_argument("--req-batch", type=int, default=64,
                     help="images per request (client-side batch)")
     ap.add_argument("--pipeline-depth", type=int, default=2)
+    ap.add_argument("--no-packed", action="store_true",
+                    help="disable the packed-word transport (control arm)")
     ap.add_argument("--rate-cap", type=float, default=2000.0,
                     help="cap the REQUEST arrival rate — a Python submit "
                     "loop cannot exceed a few k submissions/s; above the "
@@ -204,21 +206,31 @@ def main():
     sync_floor_ms = measure_sync_floor(engine, cfg)
 
     def make_server(depth=args.pipeline_depth):
-        return BatchingServer(engine, max_batch=args.max_batch,
-                              max_wait_ms=args.max_wait_ms,
-                              pipeline_depth=depth)
+        srv = BatchingServer(engine, max_batch=args.max_batch,
+                             max_wait_ms=args.max_wait_ms,
+                             pipeline_depth=depth)
+        if args.no_packed:
+            srv.packed_transport = False
+        return srv
 
     capacity = measure_serving_capacity(make_server, cfg, args.req_batch)
     cap_sync = measure_serving_capacity(lambda: make_server(1), cfg,
                                         args.req_batch)
-    print(json.dumps({"chained_kernel_img_s": round(chained, 0),
-                      "serving_capacity_img_s": round(capacity, 0),
-                      "serving_capacity_sync_img_s": round(cap_sync, 0),
-                      "pipeline_speedup": round(capacity / cap_sync, 2),
-                      "sync_floor_ms": round(sync_floor_ms, 2),
-                      "net": args.net, "route": args.route,
-                      "max_batch": args.max_batch,
-                      "tag": args.tag}), flush=True)
+    _probe_srv = make_server()
+    packed_on = _probe_srv.packed_transport
+    _probe_srv.stop()
+    hdr = {"chained_kernel_img_s": round(chained, 0),
+           "serving_capacity_img_s": round(capacity, 0),
+           "serving_capacity_sync_img_s": round(cap_sync, 0),
+           "pipeline_speedup": round(capacity / cap_sync, 2),
+           "sync_floor_ms": round(sync_floor_ms, 2),
+           "net": args.net, "route": args.route,
+           "max_batch": args.max_batch,
+           "packed_transport": packed_on,
+           "tag": args.tag}
+    print(json.dumps(hdr), flush=True)
+    with open(args.out, "a") as f:
+        f.write(json.dumps(hdr) + "\n")
 
     for frac in (float(x) for x in args.loads.split(",")):
         rate = capacity * frac / args.req_batch     # requests/s
