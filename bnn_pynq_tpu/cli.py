@@ -83,16 +83,20 @@ def cmd_bench(args):
              if cfg.input_kind == "bipolar"
              else (args.batch,) + cfg.input_shape)
     x = rng.integers(-2, 2, size=shape).astype(np.int8)
-    engine.logits(x, prepared=True)   # compile
+    # --classify times the device-argmax production op (serving path);
+    # default times full logits materialization
+    fn = engine._classify_fn() if args.classify else engine._fn
     import jax
     xd = jax.device_put(x)
+    np.asarray(fn(engine.params, engine.out_scale, engine.out_bias, xd))
     t0 = time.perf_counter()
-    outs = [engine._fn(engine.params, engine.out_scale, engine.out_bias, xd)
+    outs = [fn(engine.params, engine.out_scale, engine.out_bias, xd)
             for _ in range(args.iters)]
     np.asarray(outs[-1])
     dt = (time.perf_counter() - t0) / args.iters
     print(json.dumps({
         "network": cfg.name, "batch": args.batch, "route": args.route,
+        "path": "classify" if args.classify else "logits",
         "ms_per_batch": round(dt * 1e3, 3),
         "images_per_sec": round(args.batch / dt, 1),
         "usec_per_image": round(dt / args.batch * 1e6, 3),
@@ -307,6 +311,8 @@ def main(argv=None):
     b.add_argument("--iters", type=int, default=20)
     b.add_argument("--runtime", default="auto")
     b.add_argument("--route", default="s2d")
+    b.add_argument("--classify", action="store_true",
+                   help="time the device-argmax classify path")
     b.set_defaults(fn=cmd_bench)
 
     e = sub.add_parser("eval", help="test-set accuracy of an artifact")
