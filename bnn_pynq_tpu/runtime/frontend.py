@@ -125,6 +125,10 @@ class HttpBackend:
             except Exception:
                 self._drop_conn()
                 raise
+        # unreachable today (attempt 1 always returns or raises), but an
+        # edit to the except arms must never turn errors into an implicit
+        # None return (json.loads(None) far from the cause)
+        raise RuntimeError(f"{self.base_url}: request retry loop exhausted")
 
     def probe(self):
         self._request("GET", "/healthz")
@@ -136,7 +140,7 @@ class HttpBackend:
         return {"pending": self.max_pending - self._pending._value,
                 "queued": pool_q, **remote}
 
-    def submit(self, x: np.ndarray) -> Future:
+    def _submit_array(self, batch: np.ndarray, single: bool) -> Future:
         import io
         import json
 
@@ -147,7 +151,7 @@ class HttpBackend:
                 "pending"))
             return f
         buf = io.BytesIO()
-        np.savez(buf, x=np.asarray(x)[None])
+        np.savez(buf, x=batch)
         body = buf.getvalue()
 
         def run():
@@ -155,7 +159,9 @@ class HttpBackend:
                 resp = json.loads(self._request("POST", "/classify", body))
                 if "error" in resp:
                     raise RuntimeError(resp["error"])
-                f.set_result(int(resp["classes"][0]))
+                classes = resp["classes"]
+                f.set_result(int(classes[0]) if single
+                             else np.asarray(classes, np.int32))
             except Exception as e:  # noqa: BLE001 — Future carries it
                 f.set_exception(e)
             finally:
@@ -163,6 +169,19 @@ class HttpBackend:
 
         self._pool.submit(run)
         return f
+
+    def submit(self, x: np.ndarray) -> Future:
+        return self._submit_array(np.asarray(x)[None], single=True)
+
+    def submit_many(self, x: np.ndarray) -> Future:
+        """One POST for a k-image batch; resolves to int32 [k] classes.
+        The server side maps it to ONE multi-image BatchingServer
+        request (serving.submit_many), so a remote client amortizes both
+        the HTTP round trip and the per-request queue overhead."""
+        x = np.asarray(x)
+        if x.ndim == 0 or len(x) == 0:
+            raise ValueError("submit_many needs a leading batch dim")
+        return self._submit_array(x, single=False)
 
     def close(self):
         self._pool.shutdown(wait=False)
@@ -193,13 +212,21 @@ class Frontend:
         self._dispatch(x, outer, tries=0)
         return outer
 
-    def _dispatch(self, x, outer: Future, tries: int):
+    def submit_many(self, x: np.ndarray) -> Future:
+        """Batch request with the same failover semantics as submit():
+        re-dispatched whole to another healthy backend on failure."""
+        outer: Future = Future()
+        self._dispatch(x, outer, tries=0, many=True)
+        return outer
+
+    def _dispatch(self, x, outer: Future, tries: int, many: bool = False):
         try:
             backend = self._pick()
         except RuntimeError as e:
             outer.set_exception(e)
             return
-        inner = backend.server.submit(x)
+        inner = (backend.server.submit_many(x) if many
+                 else backend.server.submit(x))
 
         def done(f: Future):
             err = f.exception()
@@ -212,7 +239,7 @@ class Frontend:
             if tries + 1 >= self.max_retries:
                 outer.set_exception(err)
             else:
-                self._dispatch(x, outer, tries + 1)
+                self._dispatch(x, outer, tries + 1, many=many)
 
         inner.add_done_callback(done)
 

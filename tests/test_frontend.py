@@ -35,6 +35,22 @@ class FakeServer:
         threading.Thread(target=run, daemon=True).start()
         return f
 
+    def submit_many(self, x):
+        f = Future()
+
+        def run():
+            if self.delay:
+                time.sleep(self.delay)
+            if self.fail:
+                f.set_exception(RuntimeError(f"{self.name} down"))
+            else:
+                self.handled += 1
+                f.set_result(np.asarray(
+                    [int(np.sum(r)) % 10 for r in x], np.int32))
+
+        threading.Thread(target=run, daemon=True).start()
+        return f
+
 
 def test_round_robin_fanout():
     servers = [FakeServer(f"h{i}") for i in range(3)]
@@ -45,6 +61,23 @@ def test_round_robin_fanout():
         results = [fe.classify(x, 10) for x in xs]
         assert all(isinstance(r, int) for r in results)
         assert all(s.handled == 4 for s in servers)  # even spread
+    finally:
+        fe.stop()
+
+
+def test_submit_many_fanout_and_failover():
+    """Batch requests go through the same pick/failover machinery and
+    resolve to per-image class arrays."""
+    good = FakeServer("good")
+    bad = FakeServer("bad", fail=True)
+    fe = Frontend([BackendHandle("good", good), BackendHandle("bad", bad)],
+                  heartbeat_s=10.0)
+    try:
+        xs = np.stack([np.full((4,), i) for i in range(6)])
+        out = fe.submit_many(xs).result(10)
+        np.testing.assert_array_equal(
+            out, [int(np.sum(r)) % 10 for r in xs])
+        assert good.handled >= 1
     finally:
         fe.stop()
 

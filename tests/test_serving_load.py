@@ -84,6 +84,24 @@ def test_load_profile_bounded_threads(mini_server):
         hb.close()
 
 
+def test_http_backend_submit_many(mini_server):
+    """One POST per k-image batch, classes array back, end to end over
+    a live HTTP server + BatchingServer."""
+    httpd, compiled, ref_engine = mini_server
+    port = httpd.server_address[1]
+    hb = HttpBackend(f"http://127.0.0.1:{port}")
+    fe = Frontend([BackendHandle("a", hb, probe=hb.probe)], heartbeat_s=5.0)
+    rng = np.random.default_rng(9)
+    imgs = rng.integers(0, 256, size=(7, 10, 10, 3)).astype(np.uint8)
+    expected = ref_engine.classify(imgs)
+    try:
+        got = fe.submit_many(imgs).result(60)
+        np.testing.assert_array_equal(got, expected)
+    finally:
+        fe.stop()
+        hb.close()
+
+
 def test_backpressure_sheds_not_queues(mini_server):
     httpd, _, _ = mini_server
     port = httpd.server_address[1]
