@@ -62,10 +62,58 @@ def write_cifar_batches(out, x, y, n_batches, prefix="data_batch_",
             f.write(part.tobytes())
 
 
+def write_svhn_mat(out, x, y, split):
+    """SVHN cropped-digit .mat: X [32,32,3,N] uint8, y [N,1] in 1..10
+    (MATLAB labels; 0 stored as 10)."""
+    import scipy.io
+    yy = np.asarray(y, np.uint8).copy()
+    yy[yy == 0] = 10
+    scipy.io.savemat(os.path.join(out, f"{split}_32x32.mat"),
+                     {"X": x.transpose(1, 2, 3, 0),
+                      "y": yy.reshape(-1, 1)})
+
+
+def write_gtsrb_tree(out, x_tr, y_tr, x_te, y_te):
+    """GTSRB directory layout: Final_Training/Images/<class>/*.ppm with
+    per-class GT-<class>.csv ROI annotations (ROI = full frame here),
+    Final_Test/Images/*.ppm + GT-final_test.csv."""
+    from PIL import Image
+    base = os.path.join(out, "GTSRB")
+    tr = os.path.join(base, "Final_Training", "Images")
+    te = os.path.join(base, "Final_Test", "Images")
+    os.makedirs(te, exist_ok=True)
+    counters = {}
+    rows_by_cls = {}
+    for img, cls in zip(x_tr, y_tr):
+        cls = int(cls)
+        d = os.path.join(tr, f"{cls:05d}")
+        os.makedirs(d, exist_ok=True)
+        i = counters.get(cls, 0)
+        counters[cls] = i + 1
+        fn = f"{0:05d}_{i:05d}.ppm"
+        Image.fromarray(img).save(os.path.join(d, fn))
+        h, w = img.shape[:2]
+        rows_by_cls.setdefault(cls, []).append(
+            f"{fn};{w};{h};0;0;{w - 1};{h - 1};{cls}")
+    hdr = "Filename;Width;Height;Roi.X1;Roi.Y1;Roi.X2;Roi.Y2;ClassId"
+    for cls, rows in rows_by_cls.items():
+        with open(os.path.join(tr, f"{cls:05d}", f"GT-{cls:05d}.csv"),
+                  "w") as f:
+            f.write(hdr + "\n" + "\n".join(rows) + "\n")
+    test_rows = []
+    for i, (img, cls) in enumerate(zip(x_te, y_te)):
+        fn = f"{i:05d}.ppm"
+        Image.fromarray(img).save(os.path.join(te, fn))
+        h, w = img.shape[:2]
+        test_rows.append(f"{fn};{w};{h};0;0;{w - 1};{h - 1};{int(cls)}")
+    with open(os.path.join(base, "GT-final_test.csv"), "w") as f:
+        f.write(hdr + "\n" + "\n".join(test_rows) + "\n")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
-    ap.add_argument("--datasets", default="mnist,cifar10")
+    ap.add_argument("--datasets", default="mnist,cifar10,svhn,gtsrb")
     ap.add_argument("--n-train", type=int, default=16384)
     ap.add_argument("--n-test", type=int, default=4096)
     args = ap.parse_args()
@@ -75,7 +123,10 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     made = []
     for name in args.datasets.split(","):
-        ds = _synthetic(name, args.n_train, args.n_test)
+        n_tr, n_te = args.n_train, args.n_test
+        if name == "gtsrb":     # thousands of small ppm files — keep lean
+            n_tr, n_te = min(n_tr, 4300), min(n_te, 860)
+        ds = _synthetic(name, n_tr, n_te)
         if name == "mnist":
             x_tr = ds.x_train.reshape(-1, 28, 28)
             x_te = ds.x_test.reshape(-1, 28, 28)
@@ -91,9 +142,14 @@ def main():
             write_cifar_batches(args.out, ds.x_train, ds.y_train, 5)
             write_cifar_batches(args.out, ds.x_test, ds.y_test, 1,
                                 prefix="test_batch")
+        elif name == "svhn":
+            write_svhn_mat(args.out, ds.x_train, ds.y_train, "train")
+            write_svhn_mat(args.out, ds.x_test, ds.y_test, "test")
+        elif name == "gtsrb":
+            write_gtsrb_tree(args.out, ds.x_train, ds.y_train,
+                             ds.x_test, ds.y_test)
         else:
-            raise SystemExit(f"drill generator supports mnist/cifar10, "
-                             f"not {name}")
+            raise SystemExit(f"unknown drill dataset {name}")
         made.append(name)
     # loud provenance marker so the directory can never pass as real data
     with open(os.path.join(args.out, "SYNTHETIC_DRILL.txt"), "w") as f:
