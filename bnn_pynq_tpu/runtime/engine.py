@@ -187,6 +187,16 @@ class InferenceEngine:
         `binarizeAndPack` half that happens on the host."""
         return prepare_host(self.config, x)
 
+    def _pad_to_bucket(self, x: np.ndarray):
+        """Pad a leading-batch array up to the next bucket size; returns
+        (padded, true_batch). One definition for every entry path."""
+        b = x.shape[0]
+        bucket = self._bucket(b)
+        if bucket != b:
+            pad = np.zeros((bucket - b,) + x.shape[1:], dtype=x.dtype)
+            x = np.concatenate([x, pad], axis=0)
+        return x, b
+
     def _bucket(self, b: int) -> int:
         for s in self.batch_buckets:
             if b <= s:
@@ -199,11 +209,7 @@ class InferenceEngine:
         to bound recompilation."""
         if not prepared:
             x = self.prepare(x)
-        b = x.shape[0]
-        bucket = self._bucket(b)
-        if bucket != b:
-            pad = np.zeros((bucket - b,) + x.shape[1:], dtype=x.dtype)
-            x = np.concatenate([x, pad], axis=0)
+        x, b = self._pad_to_bucket(x)
         t0 = time.perf_counter()
         out = np.asarray(self._fn(self.params, self.out_scale,
                                   self.out_bias, x))
@@ -227,11 +233,7 @@ class InferenceEngine:
                 "logits_words() for the on-device-unpack path")
         words = native.binarize_pack(
             x_uint8.reshape(x_uint8.shape[0], -1))
-        b = words.shape[0]
-        bucket = self._bucket(b)
-        if bucket != b:
-            words = np.concatenate(
-                [words, np.zeros((bucket - b, words.shape[1]), np.uint32)])
+        words, b = self._pad_to_bucket(words)
         t0 = time.perf_counter()
         out = np.asarray(self._fn(self.params, self.out_scale,
                                   self.out_bias, jnp.asarray(words)))
@@ -253,11 +255,7 @@ class InferenceEngine:
                              "networks (MLPs); conv nets take int8 images")
         words = native.binarize_pack(
             x_uint8.reshape(x_uint8.shape[0], -1))
-        b = words.shape[0]
-        bucket = self._bucket(b)
-        if bucket != b:
-            words = np.concatenate(
-                [words, np.zeros((bucket - b, words.shape[1]), np.uint32)])
+        words, b = self._pad_to_bucket(words)
         t0 = time.perf_counter()
         out = np.asarray(self._words_fn()(self.params, self.out_scale,
                                           self.out_bias,
@@ -298,11 +296,7 @@ class InferenceEngine:
         if self.config.input_kind != "bipolar":
             raise ValueError("packed word input is for bipolar-input "
                              "networks")
-        b = words.shape[0]
-        bucket = self._bucket(b)
-        if bucket != b:
-            words = np.concatenate(
-                [words, np.zeros((bucket - b, words.shape[1]), np.uint32)])
+        words, b = self._pad_to_bucket(np.asarray(words))
         fn = self._words_classify_fn() if argmax else self._words_fn()
         return fn(self.params, self.out_scale, self.out_bias,
                   jnp.asarray(words)), b
@@ -336,11 +330,7 @@ class InferenceEngine:
         indices instead of logits (see _classify_fn)."""
         if not prepared:
             x = self.prepare(x)
-        b = x.shape[0]
-        bucket = self._bucket(b)
-        if bucket != b:
-            pad = np.zeros((bucket - b,) + x.shape[1:], dtype=x.dtype)
-            x = np.concatenate([x, pad], axis=0)
+        x, b = self._pad_to_bucket(x)
         fn = self._classify_fn() if argmax else self._fn
         return fn(self.params, self.out_scale, self.out_bias, x), b
 
@@ -349,11 +339,7 @@ class InferenceEngine:
         argmax runs ON DEVICE (see _classify_fn)."""
         if not prepared:
             x = self.prepare(x)
-        b = x.shape[0]
-        bucket = self._bucket(b)
-        if bucket != b:
-            pad = np.zeros((bucket - b,) + x.shape[1:], dtype=x.dtype)
-            x = np.concatenate([x, pad], axis=0)
+        x, b = self._pad_to_bucket(x)
         fn = self._classify_fn()
         t0 = time.perf_counter()
         out = np.asarray(fn(self.params, self.out_scale, self.out_bias, x))

@@ -140,12 +140,46 @@ class BatchingServer:
         x = np.asarray(x_prepared)
         if x.ndim == 0 or len(x) == 0:
             raise ValueError("submit_many needs a leading batch dim")
-        req = _Request(x, n=len(x))
         if self._stop.is_set():
-            req.future.set_exception(RuntimeError("server stopped"))
+            f: Future = Future()
+            f.set_exception(RuntimeError("server stopped"))
+            return f
+        if len(x) <= self.max_batch:
+            req = _Request(x, n=len(x))
+            self._q.put(req)
             return req.future
-        self._q.put(req)
-        return req.future
+        # split oversized requests into max_batch-sized chunks so one
+        # giant POST can never force an unplanned jit compile of a
+        # never-before-seen bucket on the serving hot path; the outer
+        # future resolves once every chunk resolves, in order
+        chunks = [x[i:i + self.max_batch]
+                  for i in range(0, len(x), self.max_batch)]
+        inner = []
+        for c in chunks:
+            req = _Request(c, n=len(c))
+            self._q.put(req)
+            inner.append(req.future)
+        outer: Future = Future()
+        remaining = [len(inner)]
+        lock = threading.Lock()
+
+        def on_done(fut):
+            if outer.done():
+                return
+            err = fut.exception()
+            if err is not None:
+                outer.set_exception(err)
+                return
+            with lock:
+                remaining[0] -= 1
+                last = remaining[0] == 0
+            if last:
+                outer.set_result(np.concatenate(
+                    [np.asarray(f.result()) for f in inner]))
+
+        for f in inner:
+            f.add_done_callback(on_done)
+        return outer
 
     def classify(self, x_prepared: np.ndarray, timeout: float = 60.0):
         return self.submit(x_prepared).result(timeout)
@@ -159,7 +193,16 @@ class BatchingServer:
         self._q.put(None)
         self._thread.join(timeout=10)
         if self.pipeline_depth > 1:
-            self._inflight.put(None)
+            # the dispatcher checks _stop between bounded put attempts,
+            # so the slot frees within its timeout unless the collector
+            # is wedged inside a device fetch — in that case drop the
+            # sentinel on the floor rather than deadlocking stop(); the
+            # collector is a daemon thread and cannot be interrupted
+            # mid-fetch anyway
+            try:
+                self._inflight.put(None, timeout=5)
+            except queue.Full:
+                pass
             self._collector.join(timeout=30)
         # fail anything still queued so no future is stranded
         try:
@@ -252,7 +295,23 @@ class BatchingServer:
                         dev_out, b = self.engine.logits_device(
                             xs, prepared=True,
                             argmax=not self.return_logits)
-                    self._inflight.put((batch, dev_out, b))
+                    # bounded put attempts so a wedged collector (device
+                    # fetch hang) cannot deadlock shutdown: re-check
+                    # _stop between attempts and fail the batch if the
+                    # server is stopping
+                    queued = False
+                    while not queued and not self._stop.is_set():
+                        try:
+                            self._inflight.put((batch, dev_out, b),
+                                               timeout=0.5)
+                            queued = True
+                        except queue.Full:
+                            continue
+                    if not queued:
+                        for r in batch:
+                            if not r.future.done():
+                                r.future.set_exception(
+                                    RuntimeError("server stopped"))
                     continue
                 if self.return_logits:
                     outs = self.engine.logits(xs, prepared=True)

@@ -44,9 +44,11 @@ def steady_state_stats(launch: Callable[[], object], iters: int = 20,
     The half-range is the uncertainty a differencing consumer must
     propagate (VERDICT r3 next #8: committed profiler tables need a
     per-row noise field)."""
+    out = None
     for _ in range(warmup):
         out = launch()
-    np.asarray(out)  # noqa: F841
+    if out is not None:
+        np.asarray(out)  # force completion of warmup
     ts = []
     for _ in range(repeats):
         t0 = time.perf_counter()

@@ -189,6 +189,25 @@ def test_batching_server_packed_transport_mlp():
     assert one == expected[0]
 
 
+def test_batching_server_oversized_request_split(cnv_engine):
+    """A single request larger than max_batch is split into max_batch
+    chunks internally (one giant POST must never force an unplanned jit
+    compile of a new bucket on the serving hot path) and still resolves
+    to one in-order result array."""
+    rng = np.random.default_rng(15)
+    imgs = rng.integers(0, 256, size=(37, 10, 10, 3)).astype(np.uint8)
+    prepared = cnv_engine.prepare(imgs)
+    expected = cnv_engine.classify(prepared, prepared=True)
+    server = BatchingServer(cnv_engine, max_batch=8, max_wait_ms=5.0)
+    try:
+        got = np.asarray(server.submit_many(prepared).result(120))
+    finally:
+        server.stop()
+    np.testing.assert_array_equal(got, expected)
+    assert server.stats.requests >= 5     # 37 images / 8 per chunk
+    assert server.stats.images == 37
+
+
 def test_load_parameters_hot_swap():
     cfg = mini_cnv(1, 1)
     _, p1, s1 = init_perturbed(cfg, seed=40)

@@ -2,7 +2,7 @@
 formulations plus the element-vs-byte drain question.
 
     for c in acc_i32_k48 acc_i16_k48 acc_i8_k48 acc_i32_k192 acc_i16_k192 \
-             acc_i32_k1024 acc_i16_k1024 conv1_native_bf16 conv1_dot_bf16; do
+             acc_i32_k1024 acc_i16_k1024 conv1_native_bf16 conv1_dot_i32; do
         timeout 900 python tools/r4_conv1_probe.py --case $c
     done
 
