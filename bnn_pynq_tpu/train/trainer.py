@@ -189,6 +189,10 @@ def train(config: NetworkConfig, dataset=None, *, epochs: int = 10,
     if resume_from:
         params, batch_stats, _ = load_checkpoint(resume_from)
 
+    # fewer images than batch_size → one step over everything (the old
+    # Python-slice loop clamped implicitly; the epoch scan's reshape
+    # needs the clamp explicit)
+    batch_size = min(batch_size, len(x_train))
     steps_per_epoch = max(1, len(x_train) // batch_size)
     total_steps = epochs * steps_per_epoch
     schedule = optax.exponential_decay(
