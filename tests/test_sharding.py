@@ -115,3 +115,32 @@ def test_sharded_train_step_runs_and_matches_unsharded():
                     jtu.tree_leaves(p_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-2, atol=2e-3)
+
+
+def test_sharded_epoch_scan_matches_stepwise():
+    """The dp×tp epoch scan (one jitted dispatch) must reproduce the
+    per-step sharded path exactly over the same batch sequence."""
+    from bnn_pynq_tpu.parallel.train_sharded import make_sharded_epoch_fn
+    cfg = mini_cnv(1, 1)
+    mesh = make_mesh(data=2, model=4)
+    model, params, stats, opt_state, tx = init_sharded(cfg, mesh, seed=3)
+    rng = np.random.default_rng(5)
+    xs = rng.normal(size=(3, 4) + cfg.input_shape).astype(np.float32)
+    ys = rng.integers(0, cfg.num_classes, size=(3, 4)).astype(np.int32)
+
+    step = make_sharded_train_step(cfg, mesh, tx)
+    p, s, o = params, stats, opt_state
+    step_losses = []
+    for i in range(3):
+        p, s, o, loss = step(p, s, o, xs[i], ys[i])
+        step_losses.append(float(loss))
+
+    epoch_fn = make_sharded_epoch_fn(cfg, mesh, tx)
+    p2, s2, o2, losses = epoch_fn(params, stats, opt_state, xs, ys)
+    np.testing.assert_allclose(np.asarray(losses), step_losses,
+                               rtol=1e-5, atol=1e-6)
+    flat_a = jax.tree_util.tree_leaves(p)
+    flat_b = jax.tree_util.tree_leaves(p2)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
