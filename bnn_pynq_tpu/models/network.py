@@ -274,6 +274,12 @@ S2D_TUNING = {
     "chain": True,           # feed phase output straight into the next
                              # same-s s2d conv (measured best: 2.403 ms
                              # vs 2.447 dephase-between, batch 1024)
+    "form": "concat",        # phase-dot form: 'concat' (2×2 patch concat
+                             # + one dot) or 'shifted' (4 sliced GEMMs
+                             # summed, no patch materialization —
+                             # ops/conv_s2d._phase_dot_shifted). A/B'd
+                             # on hardware; see perf_results/r4_conv1
+                             # tag r4-form-ab.
     "acc_i16_max_k": 512,    # drain the MXU accumulator as int16 when the
                              # phase contraction ≤ this AND Σ|a·w| < 32767
                              # (exact — the abs-sum bounds every partial
@@ -380,7 +386,8 @@ def forward_xla(config: NetworkConfig, decoded, x, *,
                 ba = conv_s2d_blocked(
                     vals, jnp.asarray(w_hwio), thr, s=s2d,
                     acc_dtype=jnp.int4 if use_int4 else None,
-                    out_dtype=jnp.int16 if use_i16 else None)
+                    out_dtype=jnp.int16 if use_i16 else None,
+                    form=S2D_TUNING["form"])
                 if s2d == 2 and thr is not None and \
                         li + 1 < len(plan) and \
                         plan[li + 1].kind == "pool" and \

@@ -110,6 +110,37 @@ def _phase_dot(patches, wmat, thr, s: int, n: int, acc_dtype=None,
     return multithreshold(acc, jnp.tile(thr, (1, s * s)))
 
 
+def _phase_dot_shifted(vals, wmat, thr, s: int, n: int, out_dtype=None):
+    """The phase dot as a sum of FOUR shifted GEMMs instead of one
+    concat+dot: each 2×2-window block position (bi,bj) contributes
+    vals[:, bi:bi+gh, bj:bj+gw, :] @ wmat_rows(bi,bj) — the slices are
+    views XLA can fuse into the dot operand read, so the 4× patch
+    duplication is never materialized. Motivation (r4 probe,
+    perf_results/r4_conv1.jsonl tag r4-chainfusion): a fused dot CHAIN
+    runs each dot ~4× faster than the same dot standalone (185 vs 46
+    G elems/s at M=262k K=N=256) — the concat between chained phase
+    dots is what breaks that fusion. Bit-exact with _phase_dot: same
+    products, summed in a different order of int32 adds (exact)."""
+    b, nbh, nbw, sc = vals.shape
+    gh, gw = nbh - 1, nbw - 1
+    w4 = wmat.reshape(2, 2, sc, s * s * n)
+    acc = None
+    for bi in range(2):
+        for bj in range(2):
+            x = vals[:, bi:bi + gh, bj:bj + gw, :].reshape(
+                b * gh * gw, sc)
+            xw = x
+            w = w4[bi, bj]
+            part = jax.lax.dot_general(
+                xw, w, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=out_dtype or jnp.int32)
+            acc = part if acc is None else acc + part
+    acc = acc.reshape(b, gh, gw, s * s * n)
+    if thr is None:
+        return acc.astype(jnp.int32)
+    return multithreshold(acc, jnp.tile(thr, (1, s * s)))
+
+
 def to_blocked(x, s: int, nbh: int, nbw: int):
     """Spatial [B, H, W, C] → blocked [B, nbh, nbw, s²C], zero-padding up
     to whole blocks (padding feeds only garbage phases — see module
@@ -142,7 +173,7 @@ def reblock(ba: BlockedAct, s_to: int):
 
 
 def conv_s2d_blocked(act, w_hwio, thr, *, s: int, acc_dtype=None,
-                     out_dtype=None):
+                     out_dtype=None, form: str = "concat"):
     """One K×K stride-1 VALID conv in phase space.
 
     act: int8 LEVELS — spatial [B, H, W, C], or a BlockedAct whose
@@ -151,6 +182,8 @@ def conv_s2d_blocked(act, w_hwio, thr, *, s: int, acc_dtype=None,
       exact for |levels| ≤ 7, measured ~20% faster at the conv2 shape).
     out_dtype: accumulator-drain dtype (see _phase_dot; int16 for
       drain-bound layers with Σ|a·w| < 32767).
+    form: 'concat' (2×2 patch concat + one dot) or 'shifted' (sum of 4
+      sliced GEMMs, no patch materialization — see _phase_dot_shifted).
     Returns BlockedAct (codes when thr given, int32 acc when thr=None).
     """
     k, _, _, n = w_hwio.shape
@@ -168,10 +201,14 @@ def conv_s2d_blocked(act, w_hwio, thr, *, s: int, acc_dtype=None,
         oh, ow = h - k + 1, w - k + 1
         nbh, nbw = -(-oh // s) + 1, -(-ow // s) + 1
         vals = to_blocked(act, s, nbh, nbw)
-    patches = sliding_window(vals, 2, 2, 1)
     wmat = blocked_weights(w_hwio, s)
-    out = _phase_dot(patches, wmat, thr, s, n, acc_dtype=acc_dtype,
-                     out_dtype=out_dtype)
+    if form == "shifted":
+        out = _phase_dot_shifted(vals, wmat, thr, s, n,
+                                 out_dtype=out_dtype)
+    else:
+        patches = sliding_window(vals, 2, 2, 1)
+        out = _phase_dot(patches, wmat, thr, s, n, acc_dtype=acc_dtype,
+                         out_dtype=out_dtype)
     return BlockedAct(out, s, oh, ow)
 
 
