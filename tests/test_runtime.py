@@ -208,6 +208,25 @@ def test_batching_server_oversized_request_split(cnv_engine):
     assert server.stats.images == 37
 
 
+def test_batching_server_pipeline_depths_agree(cnv_engine):
+    """depth=1 (sync r3 behavior) and depth=2 (pipelined collector) must
+    produce identical results for the same requests."""
+    rng = np.random.default_rng(16)
+    imgs = rng.integers(0, 256, size=(12, 10, 10, 3)).astype(np.uint8)
+    prepared = cnv_engine.prepare(imgs)
+    outs = {}
+    for depth in (1, 2):
+        server = BatchingServer(cnv_engine, max_batch=8, max_wait_ms=5.0,
+                                pipeline_depth=depth)
+        assert server.pipeline_depth == depth
+        try:
+            outs[depth] = np.asarray(
+                server.submit_many(prepared).result(120))
+        finally:
+            server.stop()
+    np.testing.assert_array_equal(outs[1], outs[2])
+
+
 def test_load_parameters_hot_swap():
     cfg = mini_cnv(1, 1)
     _, p1, s1 = init_perturbed(cfg, seed=40)
