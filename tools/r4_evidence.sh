@@ -22,8 +22,19 @@ run python tools/packed_transport.py --tag r4-final
 run python tools/prefix_prof.py --net sfc-w1a1 --route xla --batch 65536 --tag r4-final
 run python tools/prefix_prof.py --net lfc-w1a1 --route xla --batch 32768 --tag r4-final
 run python tools/prefix_prof.py --net cnv-w1a1 --route s2d --batch 1024 --tag r4-final
-# request-level serving latency under open-loop Poisson load
+# request-level serving latency under open-loop Poisson load:
+# CNV (image input) + MLP packed-vs-unpacked transport A/B
 run python tools/serving_bench.py --net cnv-w1a1 --tag r4-final
+run python tools/serving_bench.py --net sfc-w1a1 --route xla \
+    --max-batch 8192 --req-batch 512 --max-wait-ms 5 --loads 0.6 \
+    --tag r4-final-packed
+run python tools/serving_bench.py --net sfc-w1a1 --route xla \
+    --max-batch 8192 --req-batch 512 --max-wait-ms 5 --loads 0.6 \
+    --no-packed --tag r4-final-unpacked
+# the device-argmax classify path (the production serving op) at the
+# floor-amortizing MLP batches
+run python tools/tpu_perf_suite.py --nets sfc-w1a1,lfc-w1a1 \
+    --batches 262144,131072 --classify --verify --tag r4-final-classify
 # batch-1 latency rows, repeated windows (median-of-windows evidence)
 for i in 1 2 3; do
     run python tools/tpu_perf_suite.py --batches 1 --quick --tag "r4-batch1-w$i"

@@ -169,6 +169,8 @@ CASES = [
     # these batches push past it: 168M img/s SFC, 40-48M LFC measured)
     ("sfc-w1a1", "xla", 262144), ("lfc-w1a1", "xla", 131072),
     ("lfc-w1a1", "xla", 262144),
+    # 2-bit-activation MLP coverage (3-threshold epilogue path at scale)
+    ("lfc-w1a2", "xla", 32768), ("sfc-w1a2", "xla", 65536),
     # batch-1 latency points
     ("cnv-w1a1", "xla", 1), ("cnv-w1a1", "s2d", 1),
     ("cnv-w1a1", "mega", 1),
