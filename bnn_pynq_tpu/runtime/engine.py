@@ -350,12 +350,29 @@ class InferenceEngine:
         """Single image (the reference's `inference`)."""
         return int(self.classify(image[None])[0])
 
-    def warmup(self, batch: int = 1):
+    def warmup(self, batch: int = 1, *, serving: bool = True):
+        """Compile the engine's programs for `batch`'s bucket before live
+        traffic. serving=True (default) also warms the programs the
+        serving hot path actually dispatches — the device-argmax classify
+        program and, for bipolar nets, the packed-words program — so a
+        warmed server never pays a first-request jit compile (costly
+        through the remote compile service)."""
         shape = ((batch, np.prod(self.config.input_shape))
                  if self.config.input_kind == "bipolar"
                  else (batch,) + self.config.input_shape)
         dummy = np.zeros(shape, dtype=np.int8)
         self.logits(dummy, prepared=True)
+        if serving:
+            out, _ = self.logits_device(dummy, prepared=True, argmax=True)
+            outs = [out]
+            if self.config.input_kind == "bipolar":
+                words = np.zeros(
+                    (batch, -(-int(np.prod(self.config.input_shape)) // 32)),
+                    dtype=np.uint32)
+                for am in (True, False):
+                    out, _ = self.words_device(words, argmax=am)
+                    outs.append(out)
+            jax.block_until_ready(outs)
         return self
 
     # -- constructors -----------------------------------------------------

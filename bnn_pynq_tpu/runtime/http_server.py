@@ -91,9 +91,18 @@ def make_handler(classifier: Classifier, server: BatchingServer):
 
 
 def serve(artifact: str, host: str = "127.0.0.1", port: int = 8476,
-          runtime: str = "auto", route: str = "s2d", block: bool = True):
+          runtime: str = "auto", route: str = "s2d", block: bool = True,
+          warmup: bool = True):
     clf = Classifier.from_artifact(artifact, runtime=runtime, route=route)
     batcher = BatchingServer(clf.engine, max_batch=256, max_wait_ms=3.0)
+    if warmup:
+        # compile every bucket's serving program BEFORE accepting traffic
+        # — through the remote compile service a cold first request
+        # otherwise waits out the full jit compile (measured 73 s on the
+        # first live request of an unwarmed sfc-w1a1 server, r5)
+        for b in clf.engine.batch_buckets:
+            if b <= batcher.max_batch:
+                clf.engine.warmup(b)
     httpd = ThreadingHTTPServer((host, port),
                                 make_handler(clf, batcher))
     if block:

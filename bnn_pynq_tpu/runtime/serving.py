@@ -76,7 +76,7 @@ class BatchingServer:
 
     def __init__(self, engine, max_batch: int = 256,
                  max_wait_ms: float = 2.0, return_logits: bool = False,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2, adaptive_wait: bool = True):
         """pipeline_depth: number of batches in flight at once. Through
         the axon tunnel the device->host fetch (~25 ms, session-
         dependent) bounds serving throughput, not compute; with depth
@@ -85,11 +85,23 @@ class BatchingServer:
         previous fetch (measured: ~1.9x sustained throughput,
         perf_results/serving.jsonl). Depth 1 = the synchronous r3
         behavior. Requires the engine to expose logits_device(); other
-        engines (e.g. OverlapTPEngine) fall back to sync dispatch."""
+        engines (e.g. OverlapTPEngine) fall back to sync dispatch.
+
+        adaptive_wait (the latency tier): when the device is IDLE (no
+        batch launched and unresolved) the dispatcher sends whatever is
+        already queued immediately instead of holding it `max_wait_ms`
+        hoping for stragglers — a lone request at low load pays the sync
+        floor, not floor + wait + big-bucket padding (the reference's
+        `classify_image` had no queueing penalty, «bnn.py» SURVEY C12).
+        Under load the device is busy, so collection windows stay open
+        and batches still aggregate to max_batch — capacity at 90% load
+        is unchanged (measured, perf_results/serving.jsonl r5-latency
+        rows). False = always wait (the r4 throughput-only behavior)."""
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self.return_logits = return_logits
+        self.adaptive_wait = adaptive_wait
         self.pipeline_depth = (pipeline_depth
                                if hasattr(engine, "logits_device") else 1)
         # packed word transport for bipolar (MLP) engines: the serving
@@ -104,6 +116,14 @@ class BatchingServer:
             and hasattr(engine, "words_device"))
         self.stats = ServerStats()
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        # one-slot carry-over: a request _collect could not fit without
+        # pushing the batch past max_batch (dispatcher-thread-only state)
+        self._carry: Optional[_Request] = None
+        # batches launched but not yet resolved — the adaptive_wait
+        # "device idle" signal. Written by the dispatcher (+1) and the
+        # resolving thread (-1); int updates are GIL-atomic and the
+        # signal is advisory (a stale read only changes wait policy).
+        self._busy = 0
         self._stop = threading.Event()
         if self.pipeline_depth > 1:
             self._inflight: "queue.Queue" = queue.Queue(
@@ -204,7 +224,28 @@ class BatchingServer:
             except queue.Full:
                 pass
             self._collector.join(timeout=30)
+            # the dispatcher's final put can land AFTER the sentinel in
+            # FIFO order, so the collector may exit with computed batches
+            # still in _inflight — resolve them here (the device work is
+            # done; only the fetch remains)
+            try:
+                while True:
+                    item = self._inflight.get_nowait()
+                    if item is None:
+                        continue
+                    batch, dev_out, b = item
+                    try:
+                        self._resolve(batch, np.asarray(dev_out)[:b])
+                    except Exception as e:
+                        self._fail(batch, e)
+            except queue.Empty:
+                pass
         # fail anything still queued so no future is stranded
+        if self._carry is not None:
+            if not self._carry.future.done():
+                self._carry.future.set_exception(
+                    RuntimeError("server stopped"))
+            self._carry = None
         try:
             while True:
                 r = self._q.get_nowait()
@@ -214,17 +255,39 @@ class BatchingServer:
             pass
 
     # -- dispatcher -------------------------------------------------------
+    def _try_add(self, batch: List[_Request], n_imgs: int, r: _Request):
+        """Append r to batch unless it would push past max_batch; an
+        overflowing request goes to the one-slot carry-over, consumed
+        first by the next _collect — so a dispatched batch NEVER exceeds
+        max_batch and can never force an unplanned jit compile of a
+        never-warmed bucket mid-serving (the submit_many splitting
+        invariant, which interleaved multi-image clients could otherwise
+        defeat). Returns the new image count, or None when r was carried
+        (collection must stop — the slot is full)."""
+        if n_imgs + r.n_images > self.max_batch:
+            self._carry = r
+            return None
+        batch.append(r)
+        return n_imgs + r.n_images
+
     def _collect(self) -> List[_Request]:
-        try:
-            first = self._q.get(timeout=0.1)
-        except queue.Empty:
-            return []
-        if first is None:
-            return []
+        if self._carry is not None:
+            first, self._carry = self._carry, None
+        else:
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                return []
+            if first is None:
+                return []
         batch = [first]
         n_imgs = first.n_images
         deadline = time.perf_counter() + self.max_wait_s
         while n_imgs < self.max_batch:
+            # latency tier: device idle + queue drained -> dispatch NOW
+            # rather than holding a lone request for max_wait_ms
+            if self.adaptive_wait and self._busy == 0 and self._q.empty():
+                break
             remaining = deadline - time.perf_counter()
             if remaining <= 0:
                 try:
@@ -232,8 +295,9 @@ class BatchingServer:
                         r = self._q.get_nowait()
                         if r is None:
                             return batch
-                        batch.append(r)
-                        n_imgs += r.n_images
+                        n_imgs = self._try_add(batch, n_imgs, r)
+                        if n_imgs is None:
+                            return batch
                 except queue.Empty:
                     pass
                 break
@@ -243,8 +307,9 @@ class BatchingServer:
                 break
             if r is None:
                 break
-            batch.append(r)
-            n_imgs += r.n_images
+            n_imgs = self._try_add(batch, n_imgs, r)
+            if n_imgs is None:
+                break
         return batch
 
     def _resolve(self, batch, outs):
@@ -252,12 +317,24 @@ class BatchingServer:
         off = 0
         for r in batch:
             k = r.n_images
-            r.future.set_result(outs[off:off + k] if r.n else outs[off])
+            # a client may have cancelled its future (e.g. result()
+            # timeout); set_result on a CANCELLED future raises
+            # InvalidStateError and would kill the serving thread
+            if not r.future.done():
+                r.future.set_result(outs[off:off + k] if r.n else outs[off])
             off += k
             self.stats.latencies_ms.append((now - r.t_enqueue) * 1e3)
         self.stats.requests += len(batch)
         self.stats.images += off
         self.stats.batches += 1
+        self._busy -= 1
+
+    def _fail(self, batch, err):
+        """Resolve every live future in batch with err (cancel-safe)."""
+        for r in batch:
+            if not r.future.done():
+                r.future.set_exception(err)
+        self._busy -= 1
 
     def _collect_loop(self):
         """Pipelined-mode fetch stage: blocks on the device->host fetch
@@ -271,8 +348,7 @@ class BatchingServer:
                 # argmax already ran on device when return_logits=False
                 outs = np.asarray(dev_out)[:b]
             except Exception as e:
-                for r in batch:
-                    r.future.set_exception(e)
+                self._fail(batch, e)
                 continue
             self._resolve(batch, outs)
 
@@ -283,6 +359,7 @@ class BatchingServer:
                 continue
             xs = np.concatenate(
                 [r.x if r.n else r.x[None] for r in batch])
+            self._busy += 1
             try:
                 if self.pipeline_depth > 1:
                     if self.packed_transport:
@@ -297,8 +374,11 @@ class BatchingServer:
                             argmax=not self.return_logits)
                     # bounded put attempts so a wedged collector (device
                     # fetch hang) cannot deadlock shutdown: re-check
-                    # _stop between attempts and fail the batch if the
-                    # server is stopping
+                    # _stop between attempts. On stop, still make ONE
+                    # last bounded attempt — the result is already
+                    # computed and stop() drains _inflight after joining
+                    # the collector, so an accepted request gets its
+                    # answer instead of a spurious "server stopped".
                     queued = False
                     while not queued and not self._stop.is_set():
                         try:
@@ -308,17 +388,19 @@ class BatchingServer:
                         except queue.Full:
                             continue
                     if not queued:
-                        for r in batch:
-                            if not r.future.done():
-                                r.future.set_exception(
-                                    RuntimeError("server stopped"))
+                        try:
+                            self._inflight.put((batch, dev_out, b),
+                                               timeout=0.5)
+                            queued = True
+                        except queue.Full:
+                            self._fail(batch,
+                                       RuntimeError("server stopped"))
                     continue
                 if self.return_logits:
                     outs = self.engine.logits(xs, prepared=True)
                 else:
                     outs = self.engine.classify(xs, prepared=True)
             except Exception as e:  # resolve futures with the error
-                for r in batch:
-                    r.future.set_exception(e)
+                self._fail(batch, e)
                 continue
             self._resolve(batch, outs)

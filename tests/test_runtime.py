@@ -345,3 +345,146 @@ def test_engine_microbatch_split_exact(monkeypatch):
     split = InferenceEngine(compiled, runtime="interpret", route="s2d",
                             batch_buckets=(8,)).logits(imgs)
     np.testing.assert_array_equal(split, whole)
+
+
+# -- round-5 serving hardening (ADVICE r4 + VERDICT r5 latency tier) ------
+
+class _RecordingEngine:
+    """Sync fake engine (no logits_device → BatchingServer falls back to
+    depth 1): records every dispatched batch size, optional delay."""
+
+    def __init__(self, delay_s=0.0):
+        self.batch_sizes = []
+        self.delay_s = delay_s
+
+    def classify(self, x, prepared=True):
+        self.batch_sizes.append(len(x))
+        if self.delay_s:
+            import time
+            time.sleep(self.delay_s)
+        return np.zeros(len(x), np.int32)
+
+    def logits(self, x, prepared=True):
+        self.batch_sizes.append(len(x))
+        return np.zeros((len(x), 10), np.float32)
+
+
+def test_batching_server_never_exceeds_max_batch():
+    """The carry-over invariant (ADVICE r4 medium): interleaved multi-
+    image requests must never produce a dispatched batch > max_batch —
+    an overflowing request waits for the next batch instead of pushing
+    this one into a never-warmed bucket."""
+    eng = _RecordingEngine(delay_s=0.05)
+    server = BatchingServer(eng, max_batch=8, max_wait_ms=30.0,
+                            adaptive_wait=False)
+    try:
+        futs = [server.submit_many(np.zeros((5, 3), np.int8))
+                for _ in range(6)]
+        outs = [f.result(30) for f in futs]
+    finally:
+        server.stop()
+    assert all(len(o) == 5 for o in outs)
+    assert eng.batch_sizes and max(eng.batch_sizes) <= 8
+    # 6 x 5 = 30 images flowed through in <=8-image batches
+    assert sum(eng.batch_sizes) == 30
+
+
+def test_batching_server_survives_cancelled_future():
+    """A client cancelling its future (e.g. after a result() timeout)
+    must not kill the dispatcher thread (ADVICE r4: set_result on a
+    CANCELLED future raises InvalidStateError)."""
+    eng = _RecordingEngine(delay_s=0.05)
+    server = BatchingServer(eng, max_batch=4, max_wait_ms=1.0)
+    try:
+        f_a = server.submit(np.zeros(3, np.int8))   # occupies the engine
+        f_b = server.submit(np.zeros(3, np.int8))
+        assert f_b.cancel()                         # cancel while queued
+        f_a.result(30)
+        # dispatcher must still be alive and serving
+        f_c = server.submit(np.zeros(3, np.int8))
+        assert f_c.result(30) == 0
+    finally:
+        server.stop()
+
+
+def test_batching_server_adaptive_wait_low_load():
+    """Latency tier: with the device idle and the queue shallow, a lone
+    request dispatches immediately instead of waiting max_wait_ms."""
+    import time
+    eng = _RecordingEngine()
+    server = BatchingServer(eng, max_batch=64, max_wait_ms=500.0,
+                            adaptive_wait=True)
+    try:
+        t0 = time.perf_counter()
+        server.submit(np.zeros(3, np.int8)).result(30)
+        dt = time.perf_counter() - t0
+    finally:
+        server.stop()
+    assert dt < 0.25, f"adaptive dispatch took {dt * 1e3:.0f} ms"
+
+
+def test_batching_server_throughput_wait_honored():
+    """adaptive_wait=False keeps the r4 behavior: a lone request waits
+    out max_wait_ms for stragglers (the throughput tier)."""
+    import time
+    eng = _RecordingEngine()
+    server = BatchingServer(eng, max_batch=64, max_wait_ms=300.0,
+                            adaptive_wait=False)
+    try:
+        t0 = time.perf_counter()
+        server.submit(np.zeros(3, np.int8)).result(30)
+        dt = time.perf_counter() - t0
+    finally:
+        server.stop()
+    assert dt >= 0.28, f"expected >=280 ms wait, got {dt * 1e3:.0f} ms"
+
+
+class _SlowFetch:
+    """Array whose host fetch (np.asarray) blocks — models the tunnel."""
+
+    def __init__(self, vals, delay_s):
+        self.vals = vals
+        self.delay_s = delay_s
+
+    def __array__(self, dtype=None, copy=None):
+        import time
+        time.sleep(self.delay_s)
+        a = np.asarray(self.vals)
+        return a.astype(dtype) if dtype else a
+
+
+class _PipelinedEngine:
+    """Fake engine exposing the async-launch API (pipelined dispatch)."""
+
+    def classify(self, x, prepared=True):
+        return np.zeros(len(x), np.int32)
+
+    def logits_device(self, x, prepared=True, argmax=True):
+        return _SlowFetch(np.zeros(len(x), np.int32), 0.1), len(x)
+
+
+def test_batching_server_stop_resolves_inflight():
+    """Requests accepted and computed before stop() must resolve with
+    their results, not 'server stopped' (ADVICE r4: the dispatcher's
+    final put + stop()'s inflight drain)."""
+    server = BatchingServer(_PipelinedEngine(), max_batch=4,
+                            max_wait_ms=1.0, pipeline_depth=2)
+    futs = [server.submit(np.zeros(3, np.int8)) for _ in range(8)]
+    import time
+    time.sleep(0.15)          # let some batches launch into the pipeline
+    server.stop()
+    for f in futs:
+        assert f.result(1) == 0    # resolved with the computed result
+
+
+def test_warmup_compiles_serving_programs():
+    """warmup() must warm the programs the serving hot path dispatches
+    (ADVICE r4: classify + packed-words), not just the logits program."""
+    cfg = mini_mlp(1, 1)
+    _, params, stats = init_perturbed(cfg, seed=23)
+    eng = InferenceEngine(compile_network(cfg, params, stats),
+                          runtime="ref")
+    assert eng._fn_cls is None and eng._fn_words is None
+    eng.warmup(batch=4)
+    assert eng._fn_cls is not None
+    assert eng._fn_words is not None and eng._fn_words_cls is not None
