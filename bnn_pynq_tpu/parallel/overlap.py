@@ -243,12 +243,37 @@ class OverlapTPEngine:
 
     def __init__(self, compiled: CompiledNetwork, mesh: Mesh,
                  blocking: bool = False, arm: str = None,
-                 calib_batch: int = None, calib_iters: int = 10):
+                 calib_batch: int = None, calib_iters: int = 10,
+                 batch_buckets=(1, 16, 64, 256, 1024)):
         self.compiled = compiled
         self.config = compiled.config
         self.mesh = mesh
         d = mesh.shape["model"]
         self._data_d = mesh.shape.get("data", 1)
+        self.batch_buckets = tuple(sorted(batch_buckets))
+        self._load_params(compiled)
+        self._data_sh = NamedSharding(mesh, P("data"))
+        self._fn_cls = None        # lazy: device-argmax classify program
+        self._fn_words = None      # lazy: packed-words program (bipolar)
+        self._fn_words_cls = None
+        if arm is None:
+            arm = "blocking" if blocking else "ring"
+        if arm not in ("ring", "blocking", "auto"):
+            raise ValueError(f"arm must be ring|blocking|auto, got {arm!r}")
+        if arm == "auto":
+            self._fn, self.arm, self.arm_reason = self._pick_arm(
+                calib_batch, calib_iters)
+        else:
+            self._fn = make_overlap_tp_forward(self.config, mesh,
+                                               blocking=(arm == "blocking"))
+            self.arm = arm
+            self.arm_reason = "forced by caller"
+
+    def _load_params(self, compiled: CompiledNetwork):
+        """Decode + shard-place the compiled parameters (constructor and
+        `load_parameters` hot-swap share this; the jitted programs take
+        weights as arguments, so a swap recompiles nothing)."""
+        mesh, d = self.mesh, self.mesh.shape["model"]
         plan = make_plan(self.config)
         raw = [{k: jnp.asarray(v) for k, v in layer.items()}
                for layer in compiled.layers]
@@ -290,19 +315,20 @@ class OverlapTPEngine:
             jnp.asarray(compiled.out_scale), NamedSharding(mesh, P()))
         self.out_bias = jax.device_put(
             jnp.asarray(compiled.out_bias), NamedSharding(mesh, P()))
-        self._data_sh = NamedSharding(mesh, P("data"))
-        if arm is None:
-            arm = "blocking" if blocking else "ring"
-        if arm not in ("ring", "blocking", "auto"):
-            raise ValueError(f"arm must be ring|blocking|auto, got {arm!r}")
-        if arm == "auto":
-            self._fn, self.arm, self.arm_reason = self._pick_arm(
-                calib_batch, calib_iters)
-        else:
-            self._fn = make_overlap_tp_forward(self.config, mesh,
-                                               blocking=(arm == "blocking"))
-            self.arm = arm
-            self.arm_reason = "forced by caller"
+        self.compiled = compiled
+
+    def load_parameters(self, compiled: CompiledNetwork):
+        """Hot-swap parameters on a live multi-chip engine without
+        recompiling or dropping traffic — the reference's
+        `load_parameters`/doInit-while-live contract (SURVEY.md §3.2)
+        extended to the tensor-sharded engine. Topology must match."""
+        if compiled.config.layers != self.config.layers or \
+                compiled.config.wbits != self.config.wbits or \
+                compiled.config.abits != self.config.abits:
+            raise ValueError("parameter topology mismatch; build a new "
+                             "engine for a different network")
+        self._load_params(compiled)
+        return self
 
     def _pick_arm(self, calib_batch, iters):
         """Compile both arms and time them on this (network, mesh) with a
@@ -365,3 +391,111 @@ class OverlapTPEngine:
 
     def classify(self, x, *, prepared: bool = True):
         return self.logits(x, prepared=prepared).argmax(-1)
+
+    # -- serving API (first-class BatchingServer citizenship, r5) ---------
+    # Same contract as runtime.InferenceEngine: bucketed async launch with
+    # optional on-device argmax (logits_device), packed uint32 word
+    # transport for bipolar nets (words_device), and bucket warmup — so a
+    # multi-chip engine gets pipelined dispatch, packed transport, and
+    # zero-downtime weight swaps exactly like the single-chip engine.
+
+    def _bucket(self, b: int) -> int:
+        dd = self._data_d
+        for s in self.batch_buckets:
+            s = -(-s // dd) * dd          # bucket must shard over 'data'
+            if b <= s:
+                return s
+        top = -(-self.batch_buckets[-1] // dd) * dd
+        return -(-b // top) * top
+
+    def _pad_to_bucket(self, x: np.ndarray):
+        b = x.shape[0]
+        bucket = self._bucket(b)
+        if bucket != b:
+            x = np.concatenate(
+                [x, np.zeros((bucket - b,) + x.shape[1:], x.dtype)])
+        return x, b
+
+    def _classify_fn(self):
+        if self._fn_cls is None:
+            base = self._fn
+
+            @jax.jit
+            def _fc(w, t, s, bias, x):
+                return jnp.argmax(base(w, t, s, bias, x),
+                                  axis=-1).astype(jnp.int32)
+            self._fn_cls = _fc
+        return self._fn_cls
+
+    def _words_fn(self):
+        if self._fn_words is None:
+            from bnn_pynq_tpu.ops import packing
+            n_in = int(np.prod(self.config.input_shape))
+            base = self._fn
+
+            @jax.jit
+            def _fw(w, t, s, bias, words):
+                vals = packing.unpack_bits(words, n_in, axis=-1)
+                return base(w, t, s, bias, vals)
+            self._fn_words = _fw
+        return self._fn_words
+
+    def _words_classify_fn(self):
+        if self._fn_words_cls is None:
+            base = self._words_fn()
+
+            @jax.jit
+            def _fwc(w, t, s, bias, words):
+                return jnp.argmax(base(w, t, s, bias, words),
+                                  axis=-1).astype(jnp.int32)
+            self._fn_words_cls = _fwc
+        return self._fn_words_cls
+
+    def logits_device(self, x, *, prepared: bool = True,
+                      argmax: bool = False):
+        """Async sharded launch: pads to a data-divisible bucket,
+        device_puts the batch sharded over 'data', and returns
+        (device_out, b) WITHOUT the device→host fetch — the pipelined
+        dispatch hook BatchingServer uses to overlap batch t+1's launch
+        with batch t's fetch."""
+        if not prepared:
+            x = self.prepare(x)
+        x, b = self._pad_to_bucket(np.asarray(x))
+        xd = jax.device_put(jnp.asarray(x), self._data_sh)
+        fn = self._classify_fn() if argmax else self._fn
+        return fn(tuple(self.weights), tuple(self.thrs),
+                  self.out_scale, self.out_bias, xd), b
+
+    def words_device(self, words, *, argmax: bool = False):
+        """Packed-transport twin of logits_device for bipolar nets: the
+        host ships uint32 sign-bit words (32× less DCN/host-link traffic)
+        and the device unpacks into the first layer."""
+        if self.config.input_kind != "bipolar":
+            raise ValueError("packed word input is for bipolar-input "
+                             "networks")
+        words, b = self._pad_to_bucket(np.asarray(words))
+        wd = jax.device_put(jnp.asarray(words), self._data_sh)
+        fn = self._words_classify_fn() if argmax else self._words_fn()
+        return fn(tuple(self.weights), tuple(self.thrs),
+                  self.out_scale, self.out_bias, wd), b
+
+    def warmup(self, batch: int = 1, *, serving: bool = True):
+        """Compile the bucket's programs before live traffic (mirror of
+        InferenceEngine.warmup)."""
+        shape = ((batch, int(np.prod(self.config.input_shape)))
+                 if self.config.input_kind == "bipolar"
+                 else (batch,) + self.config.input_shape)
+        dummy = np.zeros(shape, np.int8)
+        outs = [self.logits(dummy, prepared=True)]
+        if serving:
+            out, _ = self.logits_device(dummy, prepared=True, argmax=True)
+            outs.append(out)
+            if self.config.input_kind == "bipolar":
+                words = np.zeros(
+                    (batch, -(-int(np.prod(self.config.input_shape)) // 32)),
+                    np.uint32)
+                for am in (True, False):
+                    out, _ = self.words_device(words, argmax=am)
+                    outs.append(out)
+            jax.block_until_ready(outs[1:])
+        return self

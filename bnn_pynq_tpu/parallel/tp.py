@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
@@ -124,7 +125,6 @@ def make_gspmd_engine(compiled: CompiledNetwork, mesh: Mesh):
     over 'model' when divisible, batch over 'data') and let XLA insert
     the ICI collectives. Complements TPInferenceEngine (which exists
     because GSPMD cannot partition pallas_call kernels)."""
-    import numpy as np
     from bnn_pynq_tpu.models.network import (decode_params, forward_xla,
                                              make_plan)
     config = compiled.config
@@ -165,13 +165,18 @@ def make_gspmd_engine(compiled: CompiledNetwork, mesh: Mesh):
 
 class TPInferenceEngine:
     """Multi-chip tensor-parallel engine (same API surface as
-    runtime.InferenceEngine.logits/classify for prepared inputs)."""
+    runtime.InferenceEngine.logits/classify for prepared inputs; serving
+    hooks — bucketed async launch with device argmax and parameter
+    hot-swap — so BatchingServer can pipeline over it, r5)."""
 
     def __init__(self, compiled: CompiledNetwork, mesh: Mesh,
-                 route: str = "mxu", interpret=None):
+                 route: str = "mxu", interpret=None,
+                 batch_buckets=(1, 16, 64, 256, 1024)):
         self.compiled = compiled
         self.config = compiled.config
         self.mesh = mesh
+        self._data_d = mesh.shape.get("data", 1)
+        self.batch_buckets = tuple(sorted(batch_buckets))
         raw = [{k: jnp.asarray(v) for k, v in layer.items()}
                for layer in compiled.layers]
         self.params = shard_params(raw, mesh, compiled.config)
@@ -179,11 +184,69 @@ class TPInferenceEngine:
         self.out_bias = jnp.asarray(compiled.out_bias)
         self._fn = make_tp_forward(compiled.config, mesh, route=route,
                                    interpret=interpret)
+        self._fn_cls = None
+        self._data_sh = NamedSharding(mesh, P("data"))
 
-    def logits(self, x_prepared):
-        import numpy as np
+    def load_parameters(self, compiled: CompiledNetwork):
+        """Hot-swap sharded parameters on the live engine (the
+        doInit-while-live contract, SURVEY.md §3.2); topology must match."""
+        if compiled.config.layers != self.config.layers or \
+                compiled.config.wbits != self.config.wbits or \
+                compiled.config.abits != self.config.abits:
+            raise ValueError("parameter topology mismatch; build a new "
+                             "engine for a different network")
+        raw = [{k: jnp.asarray(v) for k, v in layer.items()}
+               for layer in compiled.layers]
+        self.params = shard_params(raw, self.mesh, self.config)
+        self.out_scale = jnp.asarray(compiled.out_scale)
+        self.out_bias = jnp.asarray(compiled.out_bias)
+        self.compiled = compiled
+        return self
+
+    def prepare(self, x):
+        from bnn_pynq_tpu.runtime.engine import prepare_host
+        return prepare_host(self.config, x)
+
+    def _bucket(self, b: int) -> int:
+        dd = self._data_d
+        for s in self.batch_buckets:
+            s = -(-s // dd) * dd
+            if b <= s:
+                return s
+        top = -(-self.batch_buckets[-1] // dd) * dd
+        return -(-b // top) * top
+
+    def _classify_fn(self):
+        if self._fn_cls is None:
+            base = self._fn
+
+            @jax.jit
+            def _fc(params, s, b, x):
+                return jnp.argmax(base(params, s, b, x),
+                                  axis=-1).astype(jnp.int32)
+            self._fn_cls = _fc
+        return self._fn_cls
+
+    def logits_device(self, x, *, prepared: bool = True,
+                      argmax: bool = False):
+        """Async sharded launch without the device→host fetch (pipelined
+        dispatch hook for BatchingServer): returns (device_out, b)."""
+        if not prepared:
+            x = self.prepare(x)
+        x = np.asarray(x)
+        b = x.shape[0]
+        bucket = self._bucket(b)
+        if bucket != b:
+            x = np.concatenate(
+                [x, np.zeros((bucket - b,) + x.shape[1:], x.dtype)])
+        xd = jax.device_put(jnp.asarray(x), self._data_sh)
+        fn = self._classify_fn() if argmax else self._fn
+        return fn(self.params, self.out_scale, self.out_bias, xd), b
+
+    def logits(self, x_prepared, *, prepared: bool = True):
+        x = x_prepared if prepared else self.prepare(x_prepared)
         return np.asarray(self._fn(self.params, self.out_scale,
-                                   self.out_bias, x_prepared))
+                                   self.out_bias, x))
 
-    def classify(self, x_prepared):
-        return self.logits(x_prepared).argmax(-1)
+    def classify(self, x_prepared, *, prepared: bool = True):
+        return self.logits(x_prepared, prepared=prepared).argmax(-1)

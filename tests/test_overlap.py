@@ -244,3 +244,100 @@ def test_overlap_tp_full_cnv_w1a1():
     x = rng.integers(-128, 128, size=(4, 32, 32, 3)).astype(np.int8)
     np.testing.assert_allclose(eng.logits(x), ref.logits(x, prepared=True),
                                rtol=1e-5, atol=1e-5)
+
+
+# -- round-5: TP engines as first-class serving citizens ------------------
+
+def test_tp_serving_pipelined_and_packed():
+    """An OverlapTPEngine owned by BatchingServer must get the r4 serving
+    features a single-chip engine gets: pipelined dispatch (depth > 1 via
+    logits_device) and packed uint32 word transport for bipolar nets
+    (words_device) — VERDICT r4 weak #4."""
+    from bnn_pynq_tpu.runtime.serving import BatchingServer
+    compiled = _compiled()                      # lfc-w1a1, bipolar input
+    mesh = make_mesh(data=2, model=4)
+    eng = OverlapTPEngine(compiled, mesh)
+    ref = InferenceEngine(compiled, runtime="ref", route="xla",
+                          batch_buckets=(16,))
+    server = BatchingServer(eng, max_batch=16, max_wait_ms=5.0)
+    assert server.pipeline_depth == 2, "TP engine must pipeline"
+    assert server.packed_transport, "bipolar TP engine must ship words"
+    rng = np.random.default_rng(11)
+    x = rng.choice([-1, 1], size=(13, 784)).astype(np.int8)
+    try:
+        futures = [server.submit(x[i]) for i in range(13)]
+        got = np.asarray([f.result(120) for f in futures])
+    finally:
+        server.stop()
+    np.testing.assert_array_equal(got, ref.classify(x, prepared=True))
+
+
+def test_tp_words_device_exact():
+    """words_device (host-packed sign bits, device unpack) is bit-exact
+    with the int8-code path on the sharded engine."""
+    from bnn_pynq_tpu import native
+    compiled = _compiled()
+    mesh = make_mesh(data=2, model=4)
+    eng = OverlapTPEngine(compiled, mesh)
+    rng = np.random.default_rng(12)
+    x = rng.choice([-1, 1], size=(16, 784)).astype(np.int8)
+    words = native.pack_bits(x)
+    dev, b = eng.words_device(words, argmax=False)
+    np.testing.assert_allclose(np.asarray(dev)[:b], eng.logits(x),
+                               rtol=1e-5, atol=1e-5)
+    cls, b = eng.words_device(words, argmax=True)
+    np.testing.assert_array_equal(np.asarray(cls)[:b],
+                                  eng.logits(x).argmax(-1))
+
+
+def test_tp_hot_swap_mid_serve():
+    """load_parameters on a live, serving OverlapTPEngine: requests after
+    the swap see the new parameters, no engine rebuild, no downtime
+    (SURVEY.md §3.2 doInit-while-live contract on the multi-chip path)."""
+    from bnn_pynq_tpu.runtime.serving import BatchingServer
+    ca = _compiled_mini_cnv(1, 1)
+    cfg = ca.config
+    layers_b = init_random_params(cfg, seed=99)
+    cb = CompiledNetwork(
+        config=cfg,
+        layers=[{k: np.asarray(v) for k, v in l.items()} for l in layers_b],
+        out_scale=np.ones(cfg.num_classes, np.float32),
+        out_bias=np.zeros(cfg.num_classes, np.float32))
+    mesh = make_mesh(data=2, model=4)
+    eng = OverlapTPEngine(ca, mesh)
+    ref_a = InferenceEngine(ca, runtime="ref", batch_buckets=(16,))
+    ref_b = InferenceEngine(cb, runtime="ref", batch_buckets=(16,))
+    rng = np.random.default_rng(13)
+    x = rng.integers(-128, 128, size=(6, 10, 10, 3)).astype(np.int8)
+    server = BatchingServer(eng, max_batch=16, max_wait_ms=5.0)
+    try:
+        got_a = server.submit_many(x).result(120)
+        eng.load_parameters(cb)               # live hot-swap
+        got_b = server.submit_many(x).result(120)
+    finally:
+        server.stop()
+    np.testing.assert_array_equal(got_a, ref_a.classify(x, prepared=True))
+    np.testing.assert_array_equal(got_b, ref_b.classify(x, prepared=True))
+    # the swap refuses a different topology
+    other = _compiled()                        # lfc: different layers
+    with pytest.raises(ValueError, match="topology"):
+        eng.load_parameters(other)
+
+
+def test_tpinference_engine_serving_hooks():
+    """TPInferenceEngine (packed-kernel TP) gets the same hooks: bucketed
+    async launch with device argmax + topology-checked hot-swap."""
+    from bnn_pynq_tpu.parallel.tp import TPInferenceEngine
+    compiled = _compiled()
+    mesh = make_mesh(data=2, model=4)
+    eng = TPInferenceEngine(compiled, mesh,
+                            batch_buckets=(16,))
+    rng = np.random.default_rng(14)
+    x = rng.choice([-1, 1], size=(10, 784)).astype(np.int8)
+    dev, b = eng.logits_device(x, argmax=True)
+    assert b == 10
+    got = np.asarray(dev)[:b]
+    np.testing.assert_array_equal(got, eng.classify(x))
+    eng.load_parameters(compiled)              # same topology: fine
+    with pytest.raises(ValueError, match="topology"):
+        eng.load_parameters(_compiled_mini_cnv(1, 1))
