@@ -451,6 +451,21 @@ class OverlapTPEngine:
             self._fn_words_cls = _fwc
         return self._fn_words_cls
 
+    def upload(self, x_padded):
+        """Async sharded host→device transfer of a padded batch (the
+        serving uploader-stage hook; see InferenceEngine.upload)."""
+        return jax.device_put(jnp.asarray(x_padded), self._data_sh)
+
+    def launch_prepared(self, xd, *, argmax: bool = False,
+                        words: bool = False):
+        """Launch on a device-resident sharded batch without fetching."""
+        if words:
+            fn = self._words_classify_fn() if argmax else self._words_fn()
+        else:
+            fn = self._classify_fn() if argmax else self._fn
+        return fn(tuple(self.weights), tuple(self.thrs),
+                  self.out_scale, self.out_bias, xd)
+
     def logits_device(self, x, *, prepared: bool = True,
                       argmax: bool = False):
         """Async sharded launch: pads to a data-divisible bucket,

@@ -227,21 +227,36 @@ class TPInferenceEngine:
             self._fn_cls = _fc
         return self._fn_cls
 
+    def upload(self, x_padded):
+        """Async sharded host→device transfer (serving uploader hook)."""
+        return jax.device_put(jnp.asarray(x_padded), self._data_sh)
+
+    def launch_prepared(self, xd, *, argmax: bool = False,
+                        words: bool = False):
+        """Launch on a device-resident sharded batch without fetching."""
+        if words:
+            raise ValueError("TPInferenceEngine has no packed-words path")
+        fn = self._classify_fn() if argmax else self._fn
+        return fn(self.params, self.out_scale, self.out_bias, xd)
+
     def logits_device(self, x, *, prepared: bool = True,
                       argmax: bool = False):
         """Async sharded launch without the device→host fetch (pipelined
         dispatch hook for BatchingServer): returns (device_out, b)."""
         if not prepared:
             x = self.prepare(x)
-        x = np.asarray(x)
+        x, b = self._pad_to_bucket(np.asarray(x))
+        xd = jax.device_put(jnp.asarray(x), self._data_sh)
+        fn = self._classify_fn() if argmax else self._fn
+        return fn(self.params, self.out_scale, self.out_bias, xd), b
+
+    def _pad_to_bucket(self, x: np.ndarray):
         b = x.shape[0]
         bucket = self._bucket(b)
         if bucket != b:
             x = np.concatenate(
                 [x, np.zeros((bucket - b,) + x.shape[1:], x.dtype)])
-        xd = jax.device_put(jnp.asarray(x), self._data_sh)
-        fn = self._classify_fn() if argmax else self._fn
-        return fn(self.params, self.out_scale, self.out_bias, xd), b
+        return x, b
 
     def logits(self, x_prepared, *, prepared: bool = True):
         x = x_prepared if prepared else self.prepare(x_prepared)

@@ -301,6 +301,32 @@ class InferenceEngine:
         return fn(self.params, self.out_scale, self.out_bias,
                   jnp.asarray(words)), b
 
+    # -- upload/launch split (r5 serving upload pipeline) -----------------
+    # The serving upload wall: each served batch pays a host→device input
+    # transfer through a ~30-40 MB/s single-stream-serialized tunnel
+    # (perf_results/upload_probe.jsonl: k=1/2/4 concurrent streams all
+    # ~40 MB/s — no aggregation). device_put is an ASYNC call (~2 ms for
+    # 6.3 MB), so a dedicated uploader thread keeping 2 transfers ahead
+    # hides the launch+fetch round trips behind back-to-back transfers —
+    # measured 1.50× serving-cycle throughput (threaded 165 ms/batch vs
+    # serial 248, spread 0.039). These two methods are the split the
+    # BatchingServer's uploader stage needs: pad host-side, upload, then
+    # launch on the device-resident array.
+
+    def upload(self, x_padded: np.ndarray):
+        """Async host→device transfer of an already-padded batch."""
+        return jax.device_put(x_padded)
+
+    def launch_prepared(self, xd, *, argmax: bool = False,
+                        words: bool = False):
+        """Launch on a device-resident (already padded, already uploaded)
+        batch; returns the device output without fetching."""
+        if words:
+            fn = self._words_classify_fn() if argmax else self._words_fn()
+        else:
+            fn = self._classify_fn() if argmax else self._fn
+        return fn(self.params, self.out_scale, self.out_bias, xd)
+
     def _classify_fn(self):
         """jitted device-side argmax variant of _fn. Materializing the
         [B, ncls] float logits is the dominant cost at large batches on

@@ -76,7 +76,8 @@ class BatchingServer:
 
     def __init__(self, engine, max_batch: int = 256,
                  max_wait_ms: float = 2.0, return_logits: bool = False,
-                 pipeline_depth: int = 2, adaptive_wait: bool = True):
+                 pipeline_depth: int = 2, adaptive_wait: bool = True,
+                 upload_pipeline: bool = True):
         """pipeline_depth: number of batches in flight at once. Through
         the axon tunnel the device->host fetch (~25 ms, session-
         dependent) bounds serving throughput, not compute; with depth
@@ -86,6 +87,23 @@ class BatchingServer:
         perf_results/serving.jsonl). Depth 1 = the synchronous r3
         behavior. Requires the engine to expose logits_device(); other
         engines (e.g. OverlapTPEngine) fall back to sync dispatch.
+
+        upload_pipeline: run the host→device input transfer in a
+        dedicated uploader stage ({upload ∥ launch ∥ fetch}) — the TPU
+        analogue of the reference's DMA-burst-while-compute path
+        («foldedmv-offload.cpp», SURVEY C8). Measured honestly
+        (perf_results/upload_probe.jsonl + serving.jsonl r5-upload-ab):
+        the tunnel is single-stream-serialized at ~30-44 MB/s
+        (concurrent device_put streams do NOT aggregate), device_put is
+        an async CALL, and the r4 2-stage pipeline's collector thread
+        already decoupled the blocking fetch from the uploads — so the
+        explicit 3-stage form measures NEUTRAL on this tunnel
+        (interleaved A/B: 1.05×, within spread). It is kept because it
+        also moves the host-side pack/pad off the dispatch-latency path
+        and is the right structure for a colocated host link, where the
+        single-thread probe showed the decoupling is worth 1.50×.
+        Requires the engine's upload/launch_prepared split;
+        auto-disabled otherwise.
 
         adaptive_wait (the latency tier): when the device is IDLE (no
         batch launched and unresolved) the dispatcher sends whatever is
@@ -125,12 +143,24 @@ class BatchingServer:
         # signal is advisory (a stale read only changes wait policy).
         self._busy = 0
         self._stop = threading.Event()
+        self.upload_pipeline = bool(
+            upload_pipeline and self.pipeline_depth > 1
+            and hasattr(engine, "upload")
+            and hasattr(engine, "launch_prepared")
+            and hasattr(engine, "_pad_to_bucket"))
         if self.pipeline_depth > 1:
             self._inflight: "queue.Queue" = queue.Queue(
                 maxsize=self.pipeline_depth - 1)
             self._collector = threading.Thread(target=self._collect_loop,
                                                daemon=True)
             self._collector.start()
+        if self.upload_pipeline:
+            # up to 2 transfers queued ahead of the launch stage (the
+            # measured-best prefetch depth, upload_probe.jsonl)
+            self._upload_q: "queue.Queue" = queue.Queue(maxsize=2)
+            self._uploader = threading.Thread(target=self._upload_loop,
+                                              daemon=True)
+            self._uploader.start()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -212,6 +242,30 @@ class BatchingServer:
         self._stop.set()
         self._q.put(None)
         self._thread.join(timeout=10)
+        if self.upload_pipeline:
+            try:
+                self._upload_q.put(None, timeout=5)
+            except queue.Full:
+                pass
+            self._uploader.join(timeout=30)
+            # run any not-yet-uploaded accepted batches synchronously so
+            # their requests get answers, not "server stopped"
+            try:
+                while True:
+                    item = self._upload_q.get_nowait()
+                    if item is None:
+                        continue
+                    batch, padded, b = item
+                    try:
+                        xd = self.engine.upload(padded)
+                        dev_out = self.engine.launch_prepared(
+                            xd, argmax=not self.return_logits,
+                            words=self.packed_transport)
+                        self._resolve(batch, np.asarray(dev_out)[:b])
+                    except Exception as e:
+                        self._fail(batch, e)
+            except queue.Empty:
+                pass
         if self.pipeline_depth > 1:
             # the dispatcher checks _stop between bounded put attempts,
             # so the slot frees within its timeout unless the collector
@@ -336,6 +390,44 @@ class BatchingServer:
                 r.future.set_exception(err)
         self._busy -= 1
 
+    def _put_bounded(self, q, item) -> bool:
+        """Bounded put attempts that cannot deadlock shutdown: re-check
+        _stop between attempts; on stop make ONE final bounded attempt
+        (stop() drains the stage queues after joining their threads, so
+        an accepted item still gets processed)."""
+        while not self._stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        try:
+            q.put(item, timeout=0.5)
+            return True
+        except queue.Full:
+            return False
+
+    def _upload_loop(self):
+        """Uploader stage: device_put the next padded batch (async call;
+        the transfer streams in the background) and launch it, keeping
+        the single-stream tunnel busy back-to-back while the collector
+        blocks on fetches — {upload ∥ launch ∥ fetch}."""
+        while True:
+            item = self._upload_q.get()
+            if item is None:
+                return
+            batch, padded, b = item
+            try:
+                xd = self.engine.upload(padded)
+                dev_out = self.engine.launch_prepared(
+                    xd, argmax=not self.return_logits,
+                    words=self.packed_transport)
+            except Exception as e:
+                self._fail(batch, e)
+                continue
+            if not self._put_bounded(self._inflight, (batch, dev_out, b)):
+                self._fail(batch, RuntimeError("server stopped"))
+
     def _collect_loop(self):
         """Pipelined-mode fetch stage: blocks on the device->host fetch
         of batch t while the dispatcher is already launching t+1."""
@@ -361,6 +453,18 @@ class BatchingServer:
                 [r.x if r.n else r.x[None] for r in batch])
             self._busy += 1
             try:
+                if self.upload_pipeline:
+                    # stage 1 only: host-side pack+pad, then hand to the
+                    # uploader (transfer + launch) → collector (fetch)
+                    arr = xs
+                    if self.packed_transport:
+                        from bnn_pynq_tpu import native
+                        arr = native.pack_bits(xs.reshape(xs.shape[0], -1))
+                    padded, b = self.engine._pad_to_bucket(np.asarray(arr))
+                    if not self._put_bounded(self._upload_q,
+                                             (batch, padded, b)):
+                        self._fail(batch, RuntimeError("server stopped"))
+                    continue
                 if self.pipeline_depth > 1:
                     if self.packed_transport:
                         from bnn_pynq_tpu import native
@@ -372,29 +476,9 @@ class BatchingServer:
                         dev_out, b = self.engine.logits_device(
                             xs, prepared=True,
                             argmax=not self.return_logits)
-                    # bounded put attempts so a wedged collector (device
-                    # fetch hang) cannot deadlock shutdown: re-check
-                    # _stop between attempts. On stop, still make ONE
-                    # last bounded attempt — the result is already
-                    # computed and stop() drains _inflight after joining
-                    # the collector, so an accepted request gets its
-                    # answer instead of a spurious "server stopped".
-                    queued = False
-                    while not queued and not self._stop.is_set():
-                        try:
-                            self._inflight.put((batch, dev_out, b),
-                                               timeout=0.5)
-                            queued = True
-                        except queue.Full:
-                            continue
-                    if not queued:
-                        try:
-                            self._inflight.put((batch, dev_out, b),
-                                               timeout=0.5)
-                            queued = True
-                        except queue.Full:
-                            self._fail(batch,
-                                       RuntimeError("server stopped"))
+                    if not self._put_bounded(self._inflight,
+                                             (batch, dev_out, b)):
+                        self._fail(batch, RuntimeError("server stopped"))
                     continue
                 if self.return_logits:
                     outs = self.engine.logits(xs, prepared=True)

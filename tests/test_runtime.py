@@ -488,3 +488,45 @@ def test_warmup_compiles_serving_programs():
     eng.warmup(batch=4)
     assert eng._fn_cls is not None
     assert eng._fn_words is not None and eng._fn_words_cls is not None
+
+
+def test_upload_pipeline_active_and_exact(cnv_engine):
+    """The 3-stage {upload || launch || fetch} pipeline (r5 upload-wall
+    fix) engages automatically for engines with the upload/launch split
+    and is bit-identical to the 2-stage and sync paths."""
+    rng = np.random.default_rng(31)
+    imgs = rng.integers(-128, 128, size=(13, 10, 10, 3)).astype(np.int8)
+    want = cnv_engine.classify(imgs, prepared=True)
+    s3 = BatchingServer(cnv_engine, max_batch=8, max_wait_ms=5.0)
+    assert s3.upload_pipeline, "3-stage pipeline must self-enable"
+    s2 = BatchingServer(cnv_engine, max_batch=8, max_wait_ms=5.0,
+                        upload_pipeline=False)
+    assert not s2.upload_pipeline and s2.pipeline_depth == 2
+    try:
+        got3 = s3.submit_many(imgs).result(60)
+        got2 = s2.submit_many(imgs).result(60)
+    finally:
+        s3.stop()
+        s2.stop()
+    np.testing.assert_array_equal(got3, want)
+    np.testing.assert_array_equal(got2, want)
+
+
+def test_upload_pipeline_packed_mlp():
+    """Packed word transport composes with the uploader stage: the
+    dispatcher packs, the uploader ships words, the device unpacks."""
+    cfg = mini_mlp(1, 1)
+    _, params, stats = init_perturbed(cfg, seed=33)
+    eng = InferenceEngine(compile_network(cfg, params, stats),
+                          runtime="ref")
+    rng = np.random.default_rng(34)
+    n_in = int(np.prod(cfg.input_shape))
+    x = rng.choice([-1, 1], size=(11, n_in)).astype(np.int8)
+    want = eng.classify(x, prepared=True)
+    server = BatchingServer(eng, max_batch=16, max_wait_ms=5.0)
+    assert server.upload_pipeline and server.packed_transport
+    try:
+        got = server.submit_many(x).result(60)
+    finally:
+        server.stop()
+    np.testing.assert_array_equal(got, want)

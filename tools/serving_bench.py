@@ -182,6 +182,10 @@ def main():
     ap.add_argument("--pipeline-depth", type=int, default=2)
     ap.add_argument("--no-packed", action="store_true",
                     help="disable the packed-word transport (control arm)")
+    ap.add_argument("--no-upload-pipeline", action="store_true",
+                    help="disable the 3-stage uploader (control arm)")
+    ap.add_argument("--no-adaptive", action="store_true",
+                    help="disable the adaptive latency tier (control arm)")
     ap.add_argument("--rate-cap", type=float, default=2000.0,
                     help="cap the REQUEST arrival rate — a Python submit "
                     "loop cannot exceed a few k submissions/s; above the "
@@ -205,28 +209,41 @@ def main():
     chained = measure_chained_capacity(engine, cfg, args.max_batch)
     sync_floor_ms = measure_sync_floor(engine, cfg)
 
-    def make_server(depth=args.pipeline_depth):
+    def make_server(depth=args.pipeline_depth,
+                    upload=not args.no_upload_pipeline):
         srv = BatchingServer(engine, max_batch=args.max_batch,
                              max_wait_ms=args.max_wait_ms,
-                             pipeline_depth=depth)
+                             pipeline_depth=depth,
+                             adaptive_wait=not args.no_adaptive,
+                             upload_pipeline=upload)
         if args.no_packed:
             srv.packed_transport = False
         return srv
 
+    # same-window capacity A/B across the three dispatch pipelines:
+    # 3-stage {upload ∥ launch ∥ fetch}, 2-stage {launch ∥ fetch} (r4),
+    # and fully synchronous (r3)
     capacity = measure_serving_capacity(make_server, cfg, args.req_batch)
+    cap_2stage = measure_serving_capacity(
+        lambda: make_server(upload=False), cfg, args.req_batch)
     cap_sync = measure_serving_capacity(lambda: make_server(1), cfg,
                                         args.req_batch)
     _probe_srv = make_server()
     packed_on = _probe_srv.packed_transport
+    upload_on = _probe_srv.upload_pipeline
     _probe_srv.stop()
     hdr = {"chained_kernel_img_s": round(chained, 0),
            "serving_capacity_img_s": round(capacity, 0),
+           "serving_capacity_2stage_img_s": round(cap_2stage, 0),
            "serving_capacity_sync_img_s": round(cap_sync, 0),
+           "upload_pipeline_speedup": round(capacity / cap_2stage, 2),
            "pipeline_speedup": round(capacity / cap_sync, 2),
            "sync_floor_ms": round(sync_floor_ms, 2),
            "net": args.net, "route": args.route,
            "max_batch": args.max_batch,
            "packed_transport": packed_on,
+           "upload_pipeline": upload_on,
+           "adaptive_wait": not args.no_adaptive,
            "tag": args.tag}
     print(json.dumps(hdr), flush=True)
     with open(args.out, "a") as f:
@@ -266,6 +283,8 @@ def main():
             "max_batch": args.max_batch,
             "max_wait_ms": args.max_wait_ms,
             "pipeline_depth": args.pipeline_depth,
+            "upload_pipeline": upload_on,
+            "adaptive_wait": not args.no_adaptive,
             "serving_capacity_img_s": round(capacity, 0),
             "sync_floor_ms": round(sync_floor_ms, 2),
             "tag": args.tag,
