@@ -77,7 +77,7 @@ class BatchingServer:
     def __init__(self, engine, max_batch: int = 256,
                  max_wait_ms: float = 2.0, return_logits: bool = False,
                  pipeline_depth: int = 2, adaptive_wait: bool = True,
-                 upload_pipeline: bool = True):
+                 upload_pipeline: bool = False):
         """pipeline_depth: number of batches in flight at once. Through
         the axon tunnel the device->host fetch (~25 ms, session-
         dependent) bounds serving throughput, not compute; with depth
@@ -101,9 +101,12 @@ class BatchingServer:
         (interleaved A/B: 1.05×, within spread). It is kept because it
         also moves the host-side pack/pad off the dispatch-latency path
         and is the right structure for a colocated host link, where the
-        single-thread probe showed the decoupling is worth 1.50×.
-        Requires the engine's upload/launch_prepared split;
-        auto-disabled otherwise.
+        single-thread probe showed the decoupling is worth 1.50×. At
+        small max_batch it measures 0.86× (the extra pipeline slot
+        fragments the outstanding work into smaller batches, each
+        paying the round-trip floor) — hence OFF by default on this
+        tunnel; enable for colocated deployments. Requires the engine's
+        upload/launch_prepared split; auto-disabled otherwise.
 
         adaptive_wait (the latency tier): when the device is IDLE (no
         batch launched and unresolved) the dispatcher sends whatever is
@@ -324,6 +327,15 @@ class BatchingServer:
         batch.append(r)
         return n_imgs + r.n_images
 
+    def _downstream_full(self) -> bool:
+        """True when every pipeline slot is occupied — dispatching now
+        would only block on a stage queue, so the batch may as well keep
+        growing (continuous batching: batch size scales to the service
+        rate instead of the wall-clock max_wait window)."""
+        if self.upload_pipeline and self._upload_q.full():
+            return True
+        return self.pipeline_depth > 1 and self._inflight.full()
+
     def _collect(self) -> List[_Request]:
         if self._carry is not None:
             first, self._carry = self._carry, None
@@ -344,6 +356,13 @@ class BatchingServer:
                 break
             remaining = deadline - time.perf_counter()
             if remaining <= 0:
+                if self.adaptive_wait and self._downstream_full():
+                    # every downstream slot is busy: dispatching would
+                    # just block; extend the window so the batch grows
+                    # toward max_batch instead of queueing many small
+                    # batches that each pay the round-trip floor
+                    deadline = time.perf_counter() + self.max_wait_s
+                    continue
                 try:
                     while n_imgs < self.max_batch:
                         r = self._q.get_nowait()

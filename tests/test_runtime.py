@@ -497,8 +497,9 @@ def test_upload_pipeline_active_and_exact(cnv_engine):
     rng = np.random.default_rng(31)
     imgs = rng.integers(-128, 128, size=(13, 10, 10, 3)).astype(np.int8)
     want = cnv_engine.classify(imgs, prepared=True)
-    s3 = BatchingServer(cnv_engine, max_batch=8, max_wait_ms=5.0)
-    assert s3.upload_pipeline, "3-stage pipeline must self-enable"
+    s3 = BatchingServer(cnv_engine, max_batch=8, max_wait_ms=5.0,
+                        upload_pipeline=True)
+    assert s3.upload_pipeline
     s2 = BatchingServer(cnv_engine, max_batch=8, max_wait_ms=5.0,
                         upload_pipeline=False)
     assert not s2.upload_pipeline and s2.pipeline_depth == 2
@@ -523,7 +524,8 @@ def test_upload_pipeline_packed_mlp():
     n_in = int(np.prod(cfg.input_shape))
     x = rng.choice([-1, 1], size=(11, n_in)).astype(np.int8)
     want = eng.classify(x, prepared=True)
-    server = BatchingServer(eng, max_batch=16, max_wait_ms=5.0)
+    server = BatchingServer(eng, max_batch=16, max_wait_ms=5.0,
+                            upload_pipeline=True)
     assert server.upload_pipeline and server.packed_transport
     try:
         got = server.submit_many(x).result(60)

@@ -182,10 +182,16 @@ def main():
     ap.add_argument("--pipeline-depth", type=int, default=2)
     ap.add_argument("--no-packed", action="store_true",
                     help="disable the packed-word transport (control arm)")
-    ap.add_argument("--no-upload-pipeline", action="store_true",
-                    help="disable the 3-stage uploader (control arm)")
+    ap.add_argument("--upload-pipeline", action="store_true",
+                    help="enable the 3-stage uploader (off by default; "
+                    "measured neutral-to-0.86x on this tunnel)")
     ap.add_argument("--no-adaptive", action="store_true",
                     help="disable the adaptive latency tier (control arm)")
+    ap.add_argument("--buckets", default="",
+                    help="comma-separated engine batch buckets (default "
+                    "1,16,64,<max-batch>); granular buckets bound the "
+                    "padding a small dispatched batch pays — with only "
+                    "{1,16,64,2048} a 256-image batch ships 8x the bytes")
     ap.add_argument("--rate-cap", type=float, default=2000.0,
                     help="cap the REQUEST arrival rate — a Python submit "
                     "loop cannot exceed a few k submissions/s; above the "
@@ -200,17 +206,19 @@ def main():
 
     engine, cfg, compiled = _engine(args.net, args.route, args.max_batch)
     # serving pads to a bucket: give the engine the realistic bucket set
-    engine.batch_buckets = tuple(sorted({1, 16, 64, args.max_batch}))
+    engine.batch_buckets = tuple(sorted(
+        {int(b) for b in args.buckets.split(",") if b}
+        or {1, 16, 64, args.max_batch}))
     for b in engine.batch_buckets:
-        shape = ((b, int(np.prod(cfg.input_shape)))
-                 if cfg.input_kind == "bipolar" else (b,) + cfg.input_shape)
-        engine.logits(np.zeros(shape, np.int8), prepared=True)  # compile
+        engine.warmup(b)   # compiles logits + classify (+words) programs
+                           # per bucket — lazy first-dispatch compiles
+                           # otherwise show up as 2-4 s p99 outliers
 
     chained = measure_chained_capacity(engine, cfg, args.max_batch)
     sync_floor_ms = measure_sync_floor(engine, cfg)
 
     def make_server(depth=args.pipeline_depth,
-                    upload=not args.no_upload_pipeline):
+                    upload=args.upload_pipeline):
         srv = BatchingServer(engine, max_batch=args.max_batch,
                              max_wait_ms=args.max_wait_ms,
                              pipeline_depth=depth,
@@ -225,7 +233,8 @@ def main():
     # and fully synchronous (r3)
     capacity = measure_serving_capacity(make_server, cfg, args.req_batch)
     cap_2stage = measure_serving_capacity(
-        lambda: make_server(upload=False), cfg, args.req_batch)
+        lambda: make_server(upload=not args.upload_pipeline), cfg,
+        args.req_batch)
     cap_sync = measure_serving_capacity(lambda: make_server(1), cfg,
                                         args.req_batch)
     _probe_srv = make_server()
