@@ -264,13 +264,13 @@ def _conv_bf16_exact(vals_int8, w_hwio_int8, stride: int):
 # defaults = best measured config). Module-level so profiling tools can
 # flip them without threading arguments through the engine.
 S2D_TUNING = {
-    "int4_min_m": 0,         # cast dots to int4 when M ≥ this (0 = never;
-                             # +21% standalone but -17% in context — the
-                             # cast passes cost more than the MXU saves)
-    "reblock": False,        # s=4→2 single-transpose reblock measured
-                             # SLOWER than dephase + to_blocked (XLA
-                             # handles the pair better than the 8-d
-                             # transpose)
+    # Retired knobs (r5 pruning — VERDICT r4 next #7): "int4_min_m"
+    # (int4 MXU cast: +21% standalone, -17% in context; ops-level
+    # exactness witness kept in test_conv_s2d_int4_cast_exact) and
+    # "reblock" (s=4→2 single transpose: -5% vs dephase+to_blocked;
+    # op + exactness test kept in ops/conv_s2d.reblock). Both were
+    # permanently off; the unreachable branches are deleted. Full route
+    # status matrix: docs/ARCHITECTURE.md §"Route status".
     "chain": True,           # feed phase output straight into the next
                              # same-s s2d conv (measured best: 2.403 ms
                              # vs 2.447 dephase-between, batch 1024)
@@ -310,7 +310,7 @@ def forward_xla(config: NetworkConfig, decoded, x, *,
     """
     from bnn_pynq_tpu.ops.conv_s2d import (BlockedAct, conv_s2d_blocked,
                                            dephase, phase_maxpool,
-                                           pick_s2d_block, reblock)
+                                           pick_s2d_block)
 
     plan = make_plan(config)
     if config.input_kind == "bipolar":
@@ -336,9 +336,6 @@ def forward_xla(config: NetworkConfig, decoded, x, *,
             w_in = act.ow if isinstance(act, BlockedAct) else act.shape[2]
             oh, ow = h_in - lp.kernel + 1, w_in - lp.kernel + 1
             s2d = pick_s2d_block(c, lp.n, oh, ow, lp.kernel, lp.stride)
-        if isinstance(act, BlockedAct) and s2d and act.s != s2d and \
-                act.s % s2d == 0 and S2D_TUNING["reblock"]:
-            act = reblock(act, s2d)      # one transpose, stays in phase
         if isinstance(act, BlockedAct) and not (
                 s2d and act.s == s2d and S2D_TUNING["chain"]):
             act = dephase(act)
@@ -363,17 +360,6 @@ def forward_xla(config: NetworkConfig, decoded, x, *,
                 c = lp.k // (lp.kernel * lp.kernel)
                 w_hwio = p["w_hwio"] if "w_hwio" in p else \
                     p["w_int8"].reshape(lp.kernel, lp.kernel, c, lp.n)
-                # int4 MXU cast is exact only for |levels| ≤ 7 (int4 holds
-                # [-8,7]; abits ≤ 3 → levels ≤ ±7) and wins only once M is
-                # large enough to amortize the cast passes (measured: +21%
-                # at conv2's M≈200k, a loss at M≤65k —
-                # perf_results/conv_probe)
-                m_rows = x.shape[0] * (oh // s2d + 1) * (ow // s2d + 1)
-                min_m = S2D_TUNING["int4_min_m"]
-                use_int4 = (min_m and m_rows >= min_m
-                            and lp.kind != "conv_int8"
-                            and config.abits <= 3
-                            and jax.default_backend() != "cpu")
                 # int16 accumulator drain for drain-bound layers (exact:
                 # lp.k real taps × max|a| × max|w| bounds every partial)
                 phase_k = 4 * s2d * s2d * c
@@ -385,7 +371,6 @@ def forward_xla(config: NetworkConfig, decoded, x, *,
                            and lp.k * amax * wmax < 32767)
                 ba = conv_s2d_blocked(
                     vals, jnp.asarray(w_hwio), thr, s=s2d,
-                    acc_dtype=jnp.int4 if use_int4 else None,
                     out_dtype=jnp.int16 if use_i16 else None,
                     form=S2D_TUNING["form"])
                 if s2d == 2 and thr is not None and \

@@ -110,23 +110,56 @@ def write_gtsrb_tree(out, x_tr, y_tr, x_te, y_te):
         f.write(hdr + "\n" + "\n".join(test_rows) + "\n")
 
 
+def flip_labels(y, p, ncls, seed):
+    """Randomize a fraction p of labels uniformly over all classes (the
+    true class included) — the Bayes-optimal accuracy on such data is
+    exactly (1-p) + p/ncls, which lets the drill CALIBRATE where trained
+    networks land relative to their baselines."""
+    r = np.random.default_rng(seed)
+    y = np.asarray(y).copy()
+    m = r.random(len(y)) < p
+    y[m] = r.integers(0, ncls, size=int(m.sum()))
+    return y
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument("--datasets", default="mnist,cifar10,svhn,gtsrb")
     ap.add_argument("--n-train", type=int, default=16384)
     ap.add_argument("--n-test", type=int, default=4096)
+    ap.add_argument("--calibrate-offset", type=float, default=None,
+                    help="inject label noise so the Bayes-optimal "
+                    "accuracy = (max BASELINE.md top-1 for the dataset) "
+                    "+ offset. With a small positive offset the gate is "
+                    "decided by <2%% margins (it tests the comparison, "
+                    "not just the plumbing — VERDICT r4 weak #5); a "
+                    "negative offset is a DESIGNED NEAR-MISS: the "
+                    "ceiling sits below the baseline, so the gate must "
+                    "fire. Default: no noise (saturated plumbing drill).")
     args = ap.parse_args()
 
-    from bnn_pynq_tpu.train.data import _synthetic
+    from bnn_pynq_tpu.train.data import _synthetic, _CLASSES
+    from bnn_pynq_tpu.utils.baseline import REFERENCE_TOP1
 
     os.makedirs(args.out, exist_ok=True)
     made = []
+    calib = {}
     for name in args.datasets.split(","):
         n_tr, n_te = args.n_train, args.n_test
         if name == "gtsrb":     # thousands of small ppm files — keep lean
             n_tr, n_te = min(n_tr, 4300), min(n_te, 860)
         ds = _synthetic(name, n_tr, n_te)
+        if args.calibrate_offset is not None:
+            ncls = _CLASSES[name]
+            ref_max = max(v for (n, d), v in REFERENCE_TOP1.items()
+                          if d == name)
+            bayes = min(0.999, ref_max + args.calibrate_offset)
+            p = (1.0 - bayes) / (1.0 - 1.0 / ncls)
+            ds.y_train = flip_labels(ds.y_train, p, ncls, seed=11)
+            ds.y_test = flip_labels(ds.y_test, p, ncls, seed=12)
+            calib[name] = {"ref_max": ref_max, "bayes": round(bayes, 4),
+                           "label_noise_p": round(p, 5)}
         if name == "mnist":
             x_tr = ds.x_train.reshape(-1, 28, 28)
             x_te = ds.x_test.reshape(-1, 28, 28)
@@ -158,6 +191,14 @@ def main():
                 f"drill. Datasets: {', '.join(made)}. NOT real "
                 "MNIST/CIFAR-10; accuracy numbers from this directory "
                 "prove pipeline plumbing only.\n")
+        if calib:
+            import json
+            f.write("CALIBRATED (label noise sets the Bayes ceiling "
+                    f"near BASELINE.md, offset {args.calibrate_offset}): "
+                    + json.dumps(calib) + "\n")
+    if calib:
+        import json
+        print("calibration:", json.dumps(calib))
     print(f"wrote {', '.join(made)} (train {args.n_train}, "
           f"test {args.n_test}) to {args.out}")
 

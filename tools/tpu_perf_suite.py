@@ -151,16 +151,18 @@ def verify(compiled, route, batch=16):
 # rows are the compute-bound MLP numbers (LFC 31M, SFC 52M img/s at
 # r3-final).
 CASES = [
+    # Retired/witness routes (mega, direct, mxu, vpu — see the route
+    # status matrix in docs/ARCHITECTURE.md) are DROPPED from the default
+    # case list (r5, VERDICT next #7): each keeps its bit-exactness test
+    # in tests/, the retiring measurements are committed in perf.jsonl
+    # (tags r3-final/r4-final), and they can still be run explicitly via
+    # --routes mega,direct,mxu,vpu.
     ("cnv-w1a1", "s2d", 1024), ("cnv-w1a1", "s2d", 2048),
     ("cnv-w1a1", "xla", 1024), ("cnv-w1a1", "xla", 2048),
     ("cnv-w1a1", "xla", 4096),
-    ("cnv-w1a1", "mega", 1024), ("cnv-w1a1", "direct", 1024),
-    ("cnv-w1a1", "mxu", 1024), ("cnv-w1a1", "vpu", 1024),
     ("cnv-w2a2", "xla", 1024), ("cnv-w2a2", "s2d", 1024),
-    ("cnv-w2a2", "mega", 1024),
     ("cnv-w1a2", "s2d", 1024), ("cnv-w2a2-gtsrb", "s2d", 1024),
     ("lfc-w1a1", "xla", 4096), ("lfc-w1a1", "fused", 4096),
-    ("lfc-w1a1", "mxu", 4096),
     ("lfc-w1a1", "xla", 32768), ("lfc-w1a1", "fused", 32768),
     ("sfc-w1a1", "fused", 8192), ("sfc-w1a1", "xla", 8192),
     ("sfc-w1a1", "fused", 65536), ("sfc-w1a1", "xla", 65536),
@@ -173,7 +175,6 @@ CASES = [
     ("lfc-w1a2", "xla", 32768), ("sfc-w1a2", "xla", 65536),
     # batch-1 latency points
     ("cnv-w1a1", "xla", 1), ("cnv-w1a1", "s2d", 1),
-    ("cnv-w1a1", "mega", 1),
     ("sfc-w1a1", "fused", 1), ("sfc-w1a1", "xla", 1),
     ("lfc-w1a1", "fused", 1), ("lfc-w1a1", "xla", 1),
 ]
@@ -244,6 +245,21 @@ def main():
                 row["path"] = "classify"   # device-argmax output [B]
             if args.tag:
                 row["tag"] = args.tag
+            # headline hygiene (VERDICT r4 weak #1, now enforced in the
+            # tooling): a row tagged "headline"/"final" with spread >
+            # 0.1 is NOT quotable on its own — it gets a machine-visible
+            # suspect marker that any table generator / reader must
+            # surface. Quote medians across >=3 session windows instead
+            # (tools/mlp_median.py aggregates them).
+            if args.tag and ("headline" in args.tag or "final" in args.tag) \
+                    and spread > 0.1:
+                row["suspect"] = True
+                row["suspect_reason"] = (f"spread {round(spread, 3)} > 0.1 "
+                                         "(docs/session_variance.md); "
+                                         "single-window, not quotable")
+                print(f"WARNING: {name}/{route}@{batch} spread "
+                      f"{spread:.3f} > 0.1 — marked suspect; do not quote "
+                      "this single window", flush=True)
             if args.verify:
                 ok, diff = verify(compiled, route)
                 row["verify_ok"] = ok
