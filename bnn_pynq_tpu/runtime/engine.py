@@ -96,11 +96,16 @@ class InferenceEngine:
 
         if use_fused:
             from bnn_pynq_tpu.ops.fused_mlp import fused_mlp_forward_padded
-            weights = [p["w_int8"] for p in self.params]
-            thrs = [p["thr"] for p in self.params[:-1]]
 
+            # weights/thresholds come from the `params` ARGUMENT (not a
+            # closure) so load_parameters hot-swaps the fused route like
+            # every other route — same shapes, same trace, no recompile
+            # (the r4 "rebuild the engine" restriction was a parity gap
+            # with the reference's live-overlay contract, SURVEY §3.2)
             @partial(jax.jit, static_argnums=())
             def _fn(params, out_scale, out_bias, x):
+                weights = [p["w_int8"] for p in params]
+                thrs = [p["thr"] for p in params[:-1]]
                 pos = x.reshape(x.shape[0], -1) > 0
                 if abits == 1:
                     codes = pos.astype(jnp.int8)
@@ -172,9 +177,6 @@ class InferenceEngine:
         if self.route in ("xla", "xlaconv", "s2d", "direct", "mega", "fused") and \
                 self.runtime != "ref":
             new_params = decode_params(self.config, new_params)
-        if self.route == "fused":
-            raise ValueError("route='fused' closes over weights; rebuild "
-                             "the engine to swap fused-MLP parameters")
         self.params = new_params
         self.out_scale = jnp.asarray(compiled.out_scale)
         self.out_bias = jnp.asarray(compiled.out_bias)
