@@ -1,4 +1,4 @@
-"""Serving walkthrough: continuous batching with every round-4 feature.
+"""Serving walkthrough: continuous batching with every serving feature.
 
     python examples/serving_pipeline.py [artifact.npz]
 
@@ -10,7 +10,11 @@ Demonstrates (the C17 notebook analogue for the serving stack):
   (32× smaller host→device transfer, measured 3.5× serving capacity);
 - oversized-request splitting (one giant request never forces a new
   jit bucket);
-- the stats surface (requests vs images vs batches, p50/p99).
+- the stats surface (requests vs images vs batches, p50/p99);
+- the r5 latency tier (adaptive_wait: a lone request at an idle server
+  dispatches immediately instead of waiting out max_wait_ms — p50 at
+  10% load measured 1.27x the sync floor, docs/latency.md) and bucket
+  warmup (a warmed server never pays a first-request jit compile).
 
 Runs on whatever backend is available (TPU if present, else the
 interpret twin on CPU — same results either way, SURVEY.md §4.1).
@@ -33,9 +37,12 @@ def main():
                                            batch_buckets=(1, 64, 256))
     print(f"engine: {engine.config.name} runtime={engine.runtime}")
 
+    for b in (1, 64, 256):        # warm every bucket's serving program
+        engine.warmup(b)
     server = BatchingServer(engine, max_batch=256, max_wait_ms=2.0)
     print(f"packed_transport={server.packed_transport} "
-          f"pipeline_depth={server.pipeline_depth}")
+          f"pipeline_depth={server.pipeline_depth} "
+          f"adaptive_wait={server.adaptive_wait}")
 
     rng = np.random.default_rng(0)
     shape = (engine.config.input_shape
