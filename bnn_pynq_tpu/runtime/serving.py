@@ -145,6 +145,15 @@ class BatchingServer:
         # resolving thread (-1); int updates are GIL-atomic and the
         # signal is advisory (a stale read only changes wait policy).
         self._busy = 0
+        # when the last batch was dispatched: the adaptive tier only
+        # short-circuits the wait when the server has ALSO been quiet
+        # for >= max_wait — at saturation the queue empties for brief
+        # instants between closed-loop client resubmissions, and
+        # dispatching those instants immediately fragments batches that
+        # each pay the fixed ~25 ms tunnel round trip (measured: 5.7k
+        # vs 9.1k img/s capacity before this guard, serving.jsonl
+        # r5-bigbatch-adaptive/-control)
+        self._last_dispatch = 0.0
         self._stop = threading.Event()
         self.upload_pipeline = bool(
             upload_pipeline and self.pipeline_depth > 1
@@ -350,9 +359,12 @@ class BatchingServer:
         n_imgs = first.n_images
         deadline = time.perf_counter() + self.max_wait_s
         while n_imgs < self.max_batch:
-            # latency tier: device idle + queue drained -> dispatch NOW
-            # rather than holding a lone request for max_wait_ms
-            if self.adaptive_wait and self._busy == 0 and self._q.empty():
+            # latency tier: device idle + queue drained + genuinely low
+            # load (no dispatch within the last max_wait window) ->
+            # dispatch NOW rather than holding a lone request
+            if self.adaptive_wait and self._busy == 0 and self._q.empty() \
+                    and time.perf_counter() - self._last_dispatch \
+                    >= self.max_wait_s:
                 break
             remaining = deadline - time.perf_counter()
             if remaining <= 0:
@@ -471,6 +483,7 @@ class BatchingServer:
             xs = np.concatenate(
                 [r.x if r.n else r.x[None] for r in batch])
             self._busy += 1
+            self._last_dispatch = time.perf_counter()
             try:
                 if self.upload_pipeline:
                     # stage 1 only: host-side pack+pad, then hand to the
