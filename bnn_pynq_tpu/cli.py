@@ -254,8 +254,12 @@ def cmd_gate_all(args):
 
 def cmd_serve(args):
     from bnn_pynq_tpu.runtime.http_server import serve
+    buckets = tuple(sorted(int(b) for b in args.buckets.split(",") if b)) \
+        if args.buckets else None
     serve(args.artifact, host=args.host, port=args.port,
-          runtime=args.runtime, route=args.route)
+          runtime=args.runtime, route=args.route,
+          max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+          batch_buckets=buckets, warmup=not args.no_warmup)
 
 
 def cmd_info(args):
@@ -355,6 +359,15 @@ def main(argv=None):
     s.add_argument("--port", type=int, default=8476)
     s.add_argument("--runtime", default="auto")
     s.add_argument("--route", default="s2d")
+    s.add_argument("--max-batch", type=int, default=256)
+    s.add_argument("--max-wait-ms", type=float, default=3.0)
+    s.add_argument("--buckets", default="",
+                   help="comma-separated batch buckets (granular buckets "
+                   "bound low-load latency — docs/latency.md); default: "
+                   "the engine's standard set capped at max-batch")
+    s.add_argument("--no-warmup", action="store_true",
+                   help="skip compiling every bucket before serving "
+                   "(first requests then pay the jit compile)")
     s.set_defaults(fn=cmd_serve)
 
     i = sub.add_parser("info", help="list networks / show a network plan")

@@ -92,9 +92,13 @@ def make_handler(classifier: Classifier, server: BatchingServer):
 
 def serve(artifact: str, host: str = "127.0.0.1", port: int = 8476,
           runtime: str = "auto", route: str = "s2d", block: bool = True,
-          warmup: bool = True):
+          warmup: bool = True, max_batch: int = 256,
+          max_wait_ms: float = 3.0, batch_buckets=None):
     clf = Classifier.from_artifact(artifact, runtime=runtime, route=route)
-    batcher = BatchingServer(clf.engine, max_batch=256, max_wait_ms=3.0)
+    if batch_buckets:
+        clf.engine.batch_buckets = tuple(sorted(batch_buckets))
+    batcher = BatchingServer(clf.engine, max_batch=max_batch,
+                             max_wait_ms=max_wait_ms)
     if warmup:
         # compile every bucket's serving program BEFORE accepting traffic
         # — through the remote compile service a cold first request
