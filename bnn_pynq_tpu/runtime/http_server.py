@@ -7,6 +7,13 @@ the DCN-facing half of multi-host serving (each host runs one of these;
 Protocol (stdlib-only on both sides):
   POST /classify   body = npz bytes with array 'x' (uint8 image batch)
                    → JSON {"classes": [...], "usec_per_image": float}
+  POST /reload     body = npz ARTIFACT bytes (compiler/artifacts.py
+                   format) → hot-swaps parameters on the live engine
+                   with zero downtime (the reference's
+                   load_parameters-on-a-live-overlay contract, SURVEY
+                   §3.2; in-flight and queued requests keep the old
+                   weights, later batches the new). 409 on topology
+                   mismatch.
   GET  /healthz    → 200 "ok" (the Frontend heartbeat probe)
   GET  /stats      → JSON batching stats
 """
@@ -60,13 +67,27 @@ def make_handler(classifier: Classifier, server: BatchingServer):
                 self._send(404, b"not found", "text/plain")
 
         def do_POST(self):
-            if self.path != "/classify":
+            if self.path not in ("/classify", "/reload"):
                 self._send(404, b"not found", "text/plain")
                 return
             if server.stopped:
                 self.close_connection = True
                 self._send(503, json.dumps(
                     {"error": "server stopped"}).encode())
+                return
+            if self.path == "/reload":
+                from bnn_pynq_tpu.compiler.artifacts import load_artifact
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    compiled = load_artifact(
+                        io.BytesIO(self.rfile.read(length)))
+                    classifier.engine.load_parameters(compiled)
+                    self._send(200, json.dumps(
+                        {"reloaded": compiled.config.name}).encode())
+                except ValueError as e:       # topology mismatch
+                    self._send(409, json.dumps({"error": str(e)}).encode())
+                except Exception as e:
+                    self._send(400, json.dumps({"error": str(e)}).encode())
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))

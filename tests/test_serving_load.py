@@ -122,3 +122,66 @@ def test_backpressure_sheds_not_queues(mini_server):
     # capacity recovers after the burst drains
     assert hb.submit(x).result(30) is not None
     hb.close()
+
+
+def test_http_reload_hot_swaps_parameters(tmp_path):
+    """POST /reload with artifact bytes swaps weights on the live
+    server with zero downtime (SURVEY §3.2 doInit-while-live over HTTP);
+    a different-topology artifact is refused with 409."""
+    import io as _io
+    import urllib.request
+    import urllib.error
+    from bnn_pynq_tpu.compiler import compile_network, save_artifact
+    from bnn_pynq_tpu.runtime.engine import InferenceEngine
+    from bnn_pynq_tpu.runtime.http_server import serve
+    from tests.test_finnthesizer import init_perturbed, mini_cnv, mini_mlp
+
+    cfg = mini_cnv(1, 1)
+    _, p1, s1 = init_perturbed(cfg, seed=50)
+    _, p2, s2 = init_perturbed(cfg, seed=51)
+    c1, c2 = compile_network(cfg, p1, s1), compile_network(cfg, p2, s2)
+    art1 = str(tmp_path / "a1.npz")
+    save_artifact(art1, c1)
+    art2_path = str(tmp_path / "a2.npz")
+    save_artifact(art2_path, c2)
+    art2 = open(art2_path, "rb").read()
+
+    mcfg = mini_mlp(1, 1)
+    _, mp, ms = init_perturbed(mcfg, seed=52)
+    bad_path = str(tmp_path / "bad.npz")
+    save_artifact(bad_path, compile_network(mcfg, mp, ms))
+    bad = open(bad_path, "rb").read()
+
+    httpd, batcher = serve(art1, port=0, runtime="ref", block=False)
+    port = httpd.server_address[1]
+
+    def post(path, body, timeout=60):
+        return urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", data=body), timeout=timeout)
+
+    rng = np.random.default_rng(53)
+    imgs = rng.integers(0, 256, size=(5, 10, 10, 3)).astype(np.uint8)
+    buf = _io.BytesIO()
+    np.savez(buf, x=imgs)
+    try:
+        import json as _json
+        r1 = _json.loads(post("/classify", buf.getvalue()).read())
+        np.testing.assert_array_equal(
+            r1["classes"], InferenceEngine(c1, runtime="ref").classify(imgs))
+        # live hot-swap
+        rr = _json.loads(post("/reload", art2).read())
+        assert rr["reloaded"] == cfg.name
+        r2 = _json.loads(post("/classify", buf.getvalue()).read())
+        np.testing.assert_array_equal(
+            r2["classes"], InferenceEngine(c2, runtime="ref").classify(imgs))
+        # wrong topology -> 409, server keeps serving
+        try:
+            post("/reload", bad)
+            raise AssertionError("expected 409")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+        r3 = _json.loads(post("/classify", buf.getvalue()).read())
+        assert r3["classes"] == r2["classes"]
+    finally:
+        httpd.shutdown()
+        batcher.stop()
