@@ -133,6 +133,12 @@ class HttpBackend:
     def probe(self):
         self._request("GET", "/healthz")
 
+    def reload(self, artifact_bytes: bytes) -> dict:
+        """Hot-swap parameters on the remote host (POST /reload) —
+        zero-downtime weight rollout over DCN."""
+        import json
+        return json.loads(self._request("POST", "/reload", artifact_bytes))
+
     def stats(self) -> dict:
         import json
         pool_q = self._pool._work_queue.qsize()
@@ -254,6 +260,22 @@ class Frontend:
 
     def healthy_backends(self) -> List[str]:
         return [b.name for b in self.backends if b.healthy]
+
+    def reload_all(self, artifact_bytes: bytes) -> dict:
+        """Roll new parameters across every healthy backend (the
+        fleet-wide analogue of the reference's load_parameters, SURVEY
+        §3.2): each host swaps live with zero downtime; traffic keeps
+        flowing throughout. Returns {backend_name: result-or-error}."""
+        results = {}
+        for b in self.backends:
+            if not b.healthy:
+                results[b.name] = {"skipped": "unhealthy"}
+                continue
+            try:
+                results[b.name] = b.server.reload(artifact_bytes)
+            except Exception as e:  # noqa: BLE001 — report per-backend
+                results[b.name] = {"error": str(e)[:200]}
+        return results
 
     def stop(self):
         self._stop.set()

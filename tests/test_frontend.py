@@ -178,3 +178,52 @@ def test_http_failover_mid_stream(tmp_path):
         fe.stop()
         httpd_a.shutdown()
         batcher_a.stop()
+
+
+def test_frontend_reload_all(tmp_path):
+    """Fleet-wide zero-downtime parameter rollout: Frontend.reload_all
+    swaps weights on every healthy HTTP backend; traffic before/after
+    sees old/new weights respectively (r5, SURVEY §3.2 over DCN)."""
+    import numpy as np
+    from bnn_pynq_tpu.compiler import compile_network, save_artifact
+    from bnn_pynq_tpu.runtime.engine import InferenceEngine
+    from bnn_pynq_tpu.runtime.frontend import (BackendHandle, Frontend,
+                                               HttpBackend)
+    from bnn_pynq_tpu.runtime.http_server import serve
+    from tests.test_finnthesizer import init_perturbed, mini_cnv
+
+    cfg = mini_cnv(1, 1)
+    _, p1, s1 = init_perturbed(cfg, seed=60)
+    _, p2, s2 = init_perturbed(cfg, seed=61)
+    c1, c2 = compile_network(cfg, p1, s1), compile_network(cfg, p2, s2)
+    a1, a2 = str(tmp_path / "a1.npz"), str(tmp_path / "a2.npz")
+    save_artifact(a1, c1)
+    save_artifact(a2, c2)
+
+    servers = [serve(a1, port=0, runtime="ref", block=False)
+               for _ in range(2)]
+    backends = []
+    try:
+        for i, (httpd, _) in enumerate(servers):
+            hb = HttpBackend(f"http://127.0.0.1:{httpd.server_address[1]}")
+            backends.append(hb)
+        fe = Frontend([BackendHandle(f"b{i}", hb, probe=hb.probe)
+                       for i, hb in enumerate(backends)], heartbeat_s=5.0)
+        rng = np.random.default_rng(62)
+        imgs = rng.integers(0, 256, size=(4, 10, 10, 3)).astype(np.uint8)
+        want1 = InferenceEngine(c1, runtime="ref").classify(imgs)
+        want2 = InferenceEngine(c2, runtime="ref").classify(imgs)
+        np.testing.assert_array_equal(fe.submit_many(imgs).result(60), want1)
+        out = fe.reload_all(open(a2, "rb").read())
+        assert all(r.get("reloaded") == cfg.name for r in out.values()), out
+        # every backend now serves the new weights
+        for hb in backends:
+            np.testing.assert_array_equal(
+                hb.submit_many(imgs).result(60), want2)
+        fe.stop()
+    finally:
+        for hb in backends:
+            hb.close()
+        for httpd, batcher in servers:
+            httpd.shutdown()
+            batcher.stop()
