@@ -252,6 +252,18 @@ def cmd_gate_all(args):
         raise SystemExit(1)
 
 
+def cmd_reload(args):
+    """Operator-side zero-downtime weight rollout (the reference's
+    load_parameters contract over HTTP, SURVEY.md §3.2): ships the
+    artifact bytes to a live `serve` host."""
+    import urllib.request
+    with open(args.artifact, "rb") as f:
+        body = f.read()
+    resp = urllib.request.urlopen(urllib.request.Request(
+        args.url.rstrip("/") + "/reload", data=body), timeout=300)
+    print(resp.read().decode())
+
+
 def cmd_serve(args):
     from bnn_pynq_tpu.runtime.http_server import serve
     buckets = tuple(sorted(int(b) for b in args.buckets.split(",") if b)) \
@@ -369,6 +381,13 @@ def main(argv=None):
                    help="skip compiling every bucket before serving "
                    "(first requests then pay the jit compile)")
     s.set_defaults(fn=cmd_serve)
+
+    r = sub.add_parser("reload", help="hot-swap parameters on a running "
+                       "serve host (POST /reload; zero downtime)")
+    r.add_argument("artifact", help="npz artifact to roll out")
+    r.add_argument("--url", default="http://127.0.0.1:8476",
+                   help="serving host base URL")
+    r.set_defaults(fn=cmd_reload)
 
     i = sub.add_parser("info", help="list networks / show a network plan")
     i.add_argument("network", nargs="?")

@@ -93,3 +93,41 @@ def test_gate_all_trains_and_gates_on_real_data(tmp_path, capsys,
     assert "top1_accuracy" in sfc and "delta" in sfc
     assert "trained" in sfc                      # artifact was trained
     assert "skipped" in rows["cnv-w1a1"]["gate"]  # no cifar data
+
+
+def test_cli_reload_roundtrip(tmp_path, capsys):
+    """`cli reload <artifact> --url ...` swaps weights on a live serve
+    host (operator-side zero-downtime rollout, r5)."""
+    import numpy as np
+    from bnn_pynq_tpu.cli import main
+    from bnn_pynq_tpu.compiler import compile_network, save_artifact
+    from bnn_pynq_tpu.runtime.engine import InferenceEngine
+    from bnn_pynq_tpu.runtime.http_server import serve
+    from tests.test_finnthesizer import init_perturbed, mini_cnv
+
+    cfg = mini_cnv(1, 1)
+    _, p1, s1 = init_perturbed(cfg, seed=70)
+    _, p2, s2 = init_perturbed(cfg, seed=71)
+    c1, c2 = compile_network(cfg, p1, s1), compile_network(cfg, p2, s2)
+    a1, a2 = str(tmp_path / "a1.npz"), str(tmp_path / "a2.npz")
+    save_artifact(a1, c1)
+    save_artifact(a2, c2)
+    httpd, batcher = serve(a1, port=0, runtime="ref", block=False)
+    try:
+        port = httpd.server_address[1]
+        main(["reload", a2, "--url", f"http://127.0.0.1:{port}"])
+        out = capsys.readouterr().out
+        assert '"reloaded"' in out
+        rng = np.random.default_rng(72)
+        imgs = rng.integers(0, 256, size=(3, 10, 10, 3)).astype(np.uint8)
+        import io, urllib.request
+        buf = io.BytesIO(); np.savez(buf, x=imgs)
+        import json as _json
+        r = _json.loads(urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}/classify", data=buf.getvalue()),
+            timeout=60).read())
+        np.testing.assert_array_equal(
+            r["classes"], InferenceEngine(c2, runtime="ref").classify(imgs))
+    finally:
+        httpd.shutdown()
+        batcher.stop()
