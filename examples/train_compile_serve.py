@@ -5,8 +5,11 @@ continuous batching (SURVEY.md C17 + the north-star serving path).
 """
 
 import argparse
+import sys
 
 import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from bnn_pynq_tpu.compiler import compile_network, save_artifact
 from bnn_pynq_tpu.models import get_config
