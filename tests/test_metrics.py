@@ -32,3 +32,43 @@ def test_run_metrics_emit(tmp_path):
     payload = json.loads(line)
     assert payload["a"] == 1.5 and payload["run"] == "test"
     assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_mlp_median_aggregation(tmp_path, monkeypatch, capsys):
+    """tools/mlp_median.py groups multi-window rows, takes the median,
+    reports cross-window spread, and only marks quotable with enough
+    windows (the r5 headline-hygiene mechanism)."""
+    import json
+    import sys
+    sys.path.insert(0, str(tmp_path))  # not needed, just path safety
+    import tools.mlp_median as mm
+
+    path = tmp_path / "perf.jsonl"
+    rows = [
+        # three windows of one row (img/s 10, 30, 20 -> median 20)
+        {"network": "n", "route": "xla", "batch": 8, "path": "classify",
+         "images_per_sec": v, "spread": 0.01, "tag": f"t-w{i}",
+         "verify_ok": True}
+        for i, v in enumerate([10.0, 30.0, 20.0])
+    ] + [
+        # a single-window row of another group: not quotable
+        {"network": "m", "route": "xla", "batch": 8, "path": "classify",
+         "images_per_sec": 5.0, "spread": 0.0, "tag": "t-w0",
+         "verify_ok": True},
+        # unrelated tag: ignored
+        {"network": "n", "route": "xla", "batch": 8, "path": "classify",
+         "images_per_sec": 999.0, "spread": 0.0, "tag": "other"},
+    ]
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    monkeypatch.setattr(sys, "argv", [
+        "mlp_median.py", "--tag-prefix", "t-w", "--min-windows", "3",
+        "--path", str(path), "--out-tag", "agg"])
+    mm.main()
+    out = [json.loads(l) for l in open(path) if l.strip()]
+    agg = {r["network"]: r for r in out if r.get("tag") == "agg"}
+    assert agg["n"]["images_per_sec_median"] == 20.0
+    assert agg["n"]["n_windows"] == 3 and agg["n"]["quotable"]
+    assert agg["n"]["window_spread"] == round((30 - 10) / 20.0, 3)
+    assert agg["m"]["n_windows"] == 1 and not agg["m"]["quotable"]
