@@ -1,7 +1,7 @@
 """TPU performance suite — run after any kernel change (and the moment
 the device tunnel is healthy) to compare all compute routes.
 
-    python tools/tpu_perf_suite.py [--quick] [--verify] [--routes xla,mega]
+    python tools/tpu_perf_suite.py [--quick] [--verify] [--routes xla,s2d]
 
 Emits JSON lines to stdout and appends to perf_results/perf.jsonl.
 
